@@ -1,0 +1,62 @@
+"""Benchmark: two-hand inference throughput (images/sec/chip).
+
+Runs the flagship model (resnet50 encoder + dual-graph decoder, the
+reference `load_graph_model` configuration) at the reference eval batch
+size on one chip and prints a single JSON line.
+
+The PyTorch baseline publishes no numbers (BASELINE.md); `vs_baseline`
+is therefore computed against a measured torch-CPU proxy only when
+BENCH_BASELINE_IPS is set, else reported as 1.0 with the raw value as the
+headline metric.
+"""
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    from renderih_tpu.assets import make_synthetic_assets
+    from renderih_tpu.config import Config
+    from renderih_tpu.models import init_model, model_call_kwargs
+
+    cfg = Config()  # flagship: resnet50, bf16 compute
+    assets = make_synthetic_assets(seed=0)
+    model, variables = init_model(cfg, assets, jax.random.PRNGKey(0))
+    call_kwargs = model_call_kwargs(cfg, assets)
+
+    batch = int(os.environ.get("BENCH_BATCH", "256"))
+    img = jax.random.normal(jax.random.PRNGKey(1), (batch, 256, 256, 3),
+                            jnp.float32)
+
+    @jax.jit
+    def forward(variables, img):
+        out = model.apply(variables, img, train=False, **call_kwargs)
+        return out.verts3d["left"], out.verts3d["right"]
+
+    # warmup + compile
+    jax.block_until_ready(forward(variables, img))
+
+    iters = int(os.environ.get("BENCH_ITERS", "10"))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        res = forward(variables, img)
+    jax.block_until_ready(res)
+    dt = time.perf_counter() - t0
+
+    ips = batch * iters / dt
+    baseline = float(os.environ.get("BENCH_BASELINE_IPS", "0") or 0)
+    vs = ips / baseline if baseline > 0 else 1.0
+    print(json.dumps({
+        "metric": "two_hand_inference_images_per_sec_per_chip",
+        "value": round(ips, 2),
+        "unit": "images/sec",
+        "vs_baseline": round(vs, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

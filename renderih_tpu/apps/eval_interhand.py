@@ -1,0 +1,60 @@
+"""InterHand2.6M evaluation CLI (reference `apps/eval_interhand.py`).
+
+  python -m renderih_tpu.apps.eval_interhand --cfg C --ckpt PATH \
+      --data /path/packed [--iou iou.npy] [--bs 512] [--synthetic]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+import jax
+import numpy as np
+
+from renderih_tpu.assets import load_assets
+from renderih_tpu.config import load_config
+from renderih_tpu.data.interhand import PackedInterHand, make_synthetic_packed
+from renderih_tpu.eval.evaluator import evaluate_packed, print_summary
+from renderih_tpu.models import init_model
+from renderih_tpu.train.state import create_train_state, restore_checkpoint
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--cfg", type=str, default=None)
+    p.add_argument("--ckpt", type=str, default=None)
+    p.add_argument("--data", type=str, default=None)
+    p.add_argument("--split", type=str, default="test")
+    p.add_argument("--iou", type=str, default=None)
+    p.add_argument("--bs", type=int, default=512)
+    p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--json", action="store_true")
+    args = p.parse_args(argv)
+
+    cfg = load_config(args.cfg)
+    assets = load_assets(cfg.assets)
+    model, variables = init_model(cfg, assets, jax.random.PRNGKey(0))
+
+    if args.ckpt:
+        state = create_train_state(cfg, variables, steps_per_epoch=1)
+        state = restore_checkpoint(args.ckpt, state)
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    if args.synthetic or not args.data:
+        dataset = make_synthetic_packed("/tmp/renderih_eval", args.split,
+                                        assets, n=64)
+    else:
+        dataset = PackedInterHand.load(args.data, args.split)
+
+    iou = np.load(args.iou, allow_pickle=True) if args.iou else None
+    summary = evaluate_packed(cfg, model, variables, assets, dataset,
+                              batch_size=args.bs, iou=iou)
+    if args.json:
+        print(json.dumps({k: float(v) for k, v in summary.items()}))
+    else:
+        print_summary(summary)
+
+
+if __name__ == "__main__":
+    main()

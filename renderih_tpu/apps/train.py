@@ -1,0 +1,142 @@
+"""Training CLI.
+
+Usage (mirrors the reference `apps/train.py` surface, but SPMD — no
+process spawning; all local devices are used through one mesh):
+
+  python -m renderih_tpu.apps.train --cfg configs/flagship.yaml \
+      [--data /path/to/packed] [--epochs N] [--synthetic]
+
+Reference equivalent: `apps/train.py` + `core/lijun_trainer.py:train_gcn`.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from renderih_tpu.assets import load_assets
+from renderih_tpu.config import load_config
+from renderih_tpu.data.interhand import PackedInterHand, make_synthetic_packed
+from renderih_tpu.data.pipeline import DataProvider, device_augment
+from renderih_tpu.models import init_model
+from renderih_tpu.parallel.mesh import make_mesh, shard_batch
+from renderih_tpu.train.state import (
+    create_train_state,
+    restore_checkpoint,
+    save_checkpoint,
+)
+from renderih_tpu.train.trainer import make_train_step, shard_train_state
+
+log = logging.getLogger("renderih_tpu.train")
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--cfg", type=str, default=None)
+    parser.add_argument("--data", type=str, default=None,
+                        help="packed dataset dir (see tools/pack_data.py)")
+    parser.add_argument("--synthetic", action="store_true",
+                        help="train on a synthetic packed dataset (smoke)")
+    parser.add_argument("--epochs", type=int, default=None)
+    parser.add_argument("--resume", type=str, default=None)
+    parser.add_argument("--steps", type=int, default=None,
+                        help="hard cap on total steps (smoke runs)")
+    args = parser.parse_args(argv)
+
+    logging.basicConfig(level=logging.INFO,
+                        format="%(asctime)s %(name)s %(message)s")
+
+    cfg = load_config(args.cfg)
+    if args.epochs:
+        cfg.train.epochs = args.epochs
+
+    assets = load_assets(cfg.assets)
+    mesh = make_mesh(data=cfg.train.mesh_data, model=cfg.train.mesh_model)
+    n_data = mesh.shape["data"]
+    log.info("mesh: data=%d model=%d devices=%s", n_data,
+             mesh.shape["model"], jax.devices()[0].platform)
+
+    if args.synthetic or not args.data:
+        root = os.path.join(cfg.train.checkpoint_dir, "_synth_data")
+        dataset = make_synthetic_packed(root, "train", assets, n=256)
+        log.info("synthetic dataset: %d samples", len(dataset))
+    else:
+        dataset = PackedInterHand.load(args.data, "train")
+        log.info("packed dataset: %d samples", len(dataset))
+
+    global_batch = cfg.train.batch_size * n_data
+    provider = DataProvider(dataset, batch_size=global_batch,
+                            host_id=jax.process_index(),
+                            num_hosts=jax.process_count(),
+                            seed=cfg.train.seed)
+    steps_per_epoch = max(provider.batch_per_epoch, 1)
+
+    rng = jax.random.PRNGKey(cfg.train.seed)
+    model, variables = init_model(cfg, assets, rng)
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(variables["params"]))
+    log.info("model: %s, %.2fM params", cfg.model.encoder, n_params / 1e6)
+
+    state = create_train_state(cfg, variables, steps_per_epoch)
+    if args.resume:
+        state = restore_checkpoint(args.resume, state)
+        log.info("resumed from %s at step %d", args.resume, int(state.step))
+    state = shard_train_state(state, mesh, cfg)
+
+    step_fn, _ = make_train_step(cfg, model, assets, steps_per_epoch,
+                                 mesh=mesh, params_template=variables["params"])
+    aug = jax.jit(lambda b, k: device_augment(
+        b, k, img_size=cfg.model.img_size,
+        theta_range=tuple(cfg.data.theta_range),
+        scale_range=tuple(cfg.data.scale_range),
+        uv_range=tuple(cfg.data.uv_range),
+        flip=cfg.data.flip, noise=cfg.data.noise,
+        bone_length=cfg.data.bone_length, train=True,
+    ))
+
+    total_steps = args.steps or cfg.train.epochs * steps_per_epoch
+    t0 = time.perf_counter()
+    step0 = int(jax.device_get(state.step))
+    for i in range(step0, total_steps):
+        host_batch = provider.next()
+        batch = shard_batch(
+            {k: jnp.asarray(v) for k, v in host_batch.items()}, mesh
+        )
+        key = jax.random.fold_in(rng, i)
+        batch = aug(batch, jax.random.fold_in(key, 1))
+        state, terms = step_fn(state, batch, jax.random.fold_in(key, 2))
+
+        if (i + 1) % cfg.train.log_every == 0 or i == step0:
+            terms = jax.device_get(terms)
+            dt = time.perf_counter() - t0
+            ips = (i + 1 - step0) * global_batch / dt
+            log.info(
+                "step %d/%d epoch %d loss %.4f (v3d %.4f v2d %.4f joint %.4f) "
+                "%.1f img/s",
+                i + 1, total_steps, (i + 1) // steps_per_epoch,
+                float(terms["total"]), float(terms["vert3d"]),
+                float(terms["vert2d"]), float(terms["joint"]), ips,
+            )
+
+        epoch = (i + 1) // steps_per_epoch
+        if (i + 1) % steps_per_epoch == 0 and epoch % cfg.train.save_gap == 0:
+            path = os.path.abspath(
+                os.path.join(cfg.train.checkpoint_dir, f"epoch_{epoch}")
+            )
+            save_checkpoint(path, state)
+            log.info("saved checkpoint %s", path)
+
+    final = os.path.abspath(os.path.join(cfg.train.checkpoint_dir, "final"))
+    save_checkpoint(final, state)
+    log.info("done; final checkpoint at %s", final)
+    print(json.dumps({"final_step": int(jax.device_get(state.step))}))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,154 @@
+"""Single typed configuration for the whole framework.
+
+Replaces the reference's three coexisting config systems (yacs CfgNode +
+import-time `main/config.py` singleton + per-app argparse; see reference
+`utils/config.py`, `main/config.py`) with one dataclass tree that can be
+loaded from / dumped to YAML and overridden from the CLI.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any
+
+import yaml
+
+
+@dataclass
+class ModelConfig:
+    # Encoder: resnet18/34/50/101/152, vit_base, vit_large, hrnet_w*.
+    encoder: str = "resnet50"
+    # Per-scale channel width the encoder pyramid is projected to
+    # (reference `DECONV_DIMS`, `utils/defaults.yaml:14`).
+    deconv_dims: tuple = (256, 256, 256, 256)
+    # Grid-token widths per decoder stage (reference `IMG_DIMS`).
+    img_dims: tuple = (256, 128, 64)
+    gcn_in_dims: tuple = (512, 256, 128)
+    gcn_out_dims: tuple = (256, 128, 64)
+    graph_k: int = 2
+    graph_layer_num: int = 4
+    num_attn_heads: int = 4
+    dropout: float = 0.05
+    # Dual-graph block flavour: False = MLP res-blocks (the flagship,
+    # reference `DualGraph_lijun.py`), True = Chebyshev conv blocks
+    # (legacy `models/model_attn/gcn.py`).
+    use_cheby: bool = False
+    # Decoder head: "graph" regresses verts directly
+    # (`decoder_lijun_graph.py`); "mano" adds the MANO parameter regressor
+    # (`decoder_lijun_newgraph.py` / `decoder_lijun_mano.py`).
+    decoder: str = "graph"
+    # Image-grid cross-attention token grid per stage.
+    grid_size: int = 8
+    img_size: int = 256
+    freeze_upsample: bool = True
+
+
+@dataclass
+class DataConfig:
+    interhand_path: str = ""
+    syn_path: str = ""
+    data_type: int = 0
+    img_size: int = 256
+    bone_length: float = 0.095  # reference `dataset/dataset_utils.py:9`
+    # Augmentation ranges (reference `utils/defaults.yaml:34-37` +
+    # `core/loader.py:31`).
+    theta_range: tuple = (-90.0, 90.0)
+    scale_range: tuple = (0.9, 1.1)
+    uv_range: tuple = (0.0, 0.0)
+    flip: bool = True
+    noise: float = 0.0
+    num_workers: int = 4
+
+
+@dataclass
+class TrainConfig:
+    batch_size: int = 64  # per chip
+    epochs: int = 200
+    lr: float = 3.0e-4
+    weight_decay: float = 1.0e-2
+    warmup_epochs: int = 3
+    lr_decay_step: int = 80
+    lr_decay_gamma: float = 0.1
+    optimizer: str = "adamw"
+    seed: int = 88
+    # Precision policy: "bf16" computes conv/attention in bfloat16 with
+    # f32 params and f32 loss; "f32" is full float32.
+    precision: str = "bf16"
+    # ZeRO-1: shard optimizer state over the data axis.
+    zero1: bool = True
+    save_gap: int = 10
+    log_every: int = 50
+    eval_every: int = 10
+    checkpoint_dir: str = "checkpoints"
+    # Device mesh: data x model. model > 1 shards attention/MLP weights.
+    mesh_data: int = -1  # -1 = all devices
+    mesh_model: int = 1
+
+
+@dataclass
+class LossConfig:
+    label_3d: float = 100.0
+    label_2d: float = 50.0
+    normal: float = 10.0
+    edge: float = 2000.0
+    norm_epoch: int = 50  # edge loss enabled from this epoch
+    upsample: float = 1.0
+    mano_pose: float = 0.5
+    mano_shape: float = 0.01
+    mano_rel: float = 1.0
+    # Aux heads (off in the flagship recipe, see `core/Loss.py:210-211`).
+    mask: float = 0.0
+    dense: float = 0.0
+    hms: float = 0.0
+
+
+@dataclass
+class AssetConfig:
+    # Converted npz assets (from tools/convert_assets.py). Empty string =>
+    # deterministic synthetic assets (tests/benchmarks).
+    mano_left: str = ""
+    mano_right: str = ""
+    graph_left: str = ""
+    graph_right: str = ""
+    upsample: str = ""
+    dense_color: str = ""
+
+
+@dataclass
+class Config:
+    model: ModelConfig = field(default_factory=ModelConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    loss: LossConfig = field(default_factory=LossConfig)
+    assets: AssetConfig = field(default_factory=AssetConfig)
+
+
+def _update(dc: Any, d: dict) -> Any:
+    kwargs = {}
+    for f in dataclasses.fields(dc):
+        if f.name not in d:
+            kwargs[f.name] = getattr(dc, f.name)
+        elif dataclasses.is_dataclass(getattr(dc, f.name)):
+            kwargs[f.name] = _update(getattr(dc, f.name), d[f.name])
+        else:
+            val = d[f.name]
+            if isinstance(getattr(dc, f.name), tuple) and isinstance(val, list):
+                val = tuple(val)
+            kwargs[f.name] = val
+    return type(dc)(**kwargs)
+
+
+def load_config(path: str | None = None, overrides: dict | None = None) -> Config:
+    cfg = Config()
+    if path:
+        with open(path) as f:
+            cfg = _update(cfg, yaml.safe_load(f) or {})
+    if overrides:
+        cfg = _update(cfg, overrides)
+    return cfg
+
+
+def dump_config(cfg: Config, path: str) -> None:
+    with open(path, "w") as f:
+        yaml.safe_dump(dataclasses.asdict(cfg), f, sort_keys=False)

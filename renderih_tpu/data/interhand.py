@@ -1,0 +1,141 @@
+"""InterHand2.6M dataset access: packed arrays + reference-layout reader.
+
+The reference stores preprocessed samples as per-frame files
+(`{split}/img/{i}.jpg` + `{split}/ori_handdict/{i}.npy`, see
+`dataset/interhand.py:230-268`), read by 4 DataLoader worker processes.
+On TPU hosts the input bottleneck is file-open overhead, so we pack the
+dataset once into flat memory-mappable arrays:
+
+  {out}/{split}_images.u8   — uint8 (N, 256, 256, 3), RGB
+  {out}/{split}_labels.npz  — float32 label arrays (see LABEL_KEYS)
+
+and read random batches with zero-copy slicing. Augmentation happens on
+device (`renderih_tpu/data/pipeline.py`), not in host workers.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import numpy as np
+
+IMG_SIZE = 256  # reference `dataset/dataset_utils.py:4`
+
+LABEL_KEYS = (
+    "v3d_left", "j3d_left", "v2d_left", "j2d_left",
+    "v3d_right", "j3d_right", "v2d_right", "j2d_right",
+    "pose_left", "shape_left", "pose_right", "shape_right",
+)
+
+_SHAPES = {
+    "v3d": (778, 3), "j3d": (21, 3), "v2d": (778, 2), "j2d": (21, 2),
+    "pose": (48,), "shape": (10,),
+}
+
+
+def _label_shape(key: str) -> tuple:
+    return _SHAPES[key.split("_")[0]]
+
+
+@dataclass
+class PackedInterHand:
+    """Memory-mapped packed dataset."""
+
+    images: np.ndarray  # uint8 memmap (N, 256, 256, 3)
+    labels: dict        # str -> float32 (N, ...)
+
+    def __len__(self) -> int:
+        return self.images.shape[0]
+
+    def batch(self, idx: np.ndarray) -> dict:
+        out = {"img_u8": np.asarray(self.images[idx])}
+        for k, v in self.labels.items():
+            out[k] = np.asarray(v[idx])
+        return out
+
+    @classmethod
+    def load(cls, root: str, split: str) -> "PackedInterHand":
+        labels = dict(np.load(os.path.join(root, f"{split}_labels.npz")))
+        n = labels[LABEL_KEYS[0]].shape[0]
+        images = np.memmap(
+            os.path.join(root, f"{split}_images.u8"), dtype=np.uint8,
+            mode="r", shape=(n, IMG_SIZE, IMG_SIZE, 3),
+        )
+        return cls(images=images, labels=labels)
+
+
+def load_reference_sample(data_path: str, split: str, idx: int):
+    """Read one sample in the reference on-disk layout (requires cv2)."""
+    import cv2 as cv
+
+    img = cv.imread(os.path.join(data_path, split, "img", f"{idx}.jpg"))
+    img = cv.cvtColor(img, cv.COLOR_BGR2RGB)
+    hand_dict = np.load(
+        os.path.join(data_path, split, "ori_handdict", f"{idx}.npy"),
+        allow_pickle=True,
+    )[()]
+    return img, hand_dict
+
+
+def pack_reference_dataset(data_path: str, split: str, out_dir: str,
+                           limit: int | None = None) -> int:
+    """Convert the reference per-file layout into packed arrays."""
+    from glob import glob
+
+    os.makedirs(out_dir, exist_ok=True)
+    n = len(glob(os.path.join(data_path, split, "anno", "*.pkl")))
+    if limit:
+        n = min(n, limit)
+
+    images = np.memmap(
+        os.path.join(out_dir, f"{split}_images.u8"), dtype=np.uint8,
+        mode="w+", shape=(n, IMG_SIZE, IMG_SIZE, 3),
+    )
+    labels = {k: np.zeros((n,) + _label_shape(k), np.float32)
+              for k in LABEL_KEYS}
+
+    for i in range(n):
+        img, hd = load_reference_sample(data_path, split, i)
+        if img.shape[:2] != (IMG_SIZE, IMG_SIZE):
+            import cv2 as cv
+
+            img = cv.resize(img, (IMG_SIZE, IMG_SIZE))
+        images[i] = img
+        for hand in ("left", "right"):
+            labels[f"v3d_{hand}"][i] = hd[hand]["verts3d"]
+            labels[f"j3d_{hand}"][i] = hd[hand]["joints3d"]
+            labels[f"v2d_{hand}"][i] = hd[hand]["verts2d"]
+            labels[f"j2d_{hand}"][i] = hd[hand]["joints2d"]
+            if "pose" in hd[hand]:
+                labels[f"pose_{hand}"][i] = hd[hand]["pose"]
+                labels[f"shape_{hand}"][i] = hd[hand]["shape"]
+    images.flush()
+    np.savez(os.path.join(out_dir, f"{split}_labels.npz"), **labels)
+    return n
+
+
+def make_synthetic_packed(root: str, split: str, assets, n: int = 64,
+                          seed: int = 0) -> "PackedInterHand":
+    """Write a small synthetic packed dataset (tests / smoke runs)."""
+    import jax
+
+    from renderih_tpu.data.synthetic import synthetic_batch
+
+    os.makedirs(root, exist_ok=True)
+    batch = synthetic_batch(assets, jax.random.PRNGKey(seed), batch_size=n,
+                            img_size=IMG_SIZE)
+    images = np.memmap(
+        os.path.join(root, f"{split}_images.u8"), dtype=np.uint8,
+        mode="w+", shape=(n, IMG_SIZE, IMG_SIZE, 3),
+    )
+    rng = np.random.default_rng(seed)
+    images[:] = rng.integers(0, 255, images.shape, dtype=np.uint8)
+    images.flush()
+    labels = {k: np.zeros((n,) + _label_shape(k), np.float32)
+              for k in LABEL_KEYS}
+    for k in ("v3d_left", "j3d_left", "v2d_left", "j2d_left",
+              "v3d_right", "j3d_right", "v2d_right", "j2d_right"):
+        labels[k] = np.asarray(batch[k], np.float32)
+    np.savez(os.path.join(root, f"{split}_labels.npz"), **labels)
+    return PackedInterHand.load(root, split)

@@ -1,0 +1,178 @@
+"""Input pipeline: per-host sharded sampling + on-device augmentation.
+
+Replaces the reference's DataLoader-worker CPU augmentation
+(`core/loader.py:96-219`) with a jitted device function. Per step:
+
+  host:   draw a per-host shard of indices (DistributedSampler
+          equivalent, `utils/DataProvider.py:18`), slice the packed
+          memmap, ship uint8 images + float labels to device.
+  device: affine warp (theta/scale/u/v), 50% L/R flip with label swap,
+          brightness/gaussian noise, ImageNet normalize, root-relative 3D
+          with bone-length rescale to 0.095 m, root_rel offset — all
+          batched, all inside one jit.
+
+Label semantics match `handDataset.process_data` exactly (see inline
+citations).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from renderih_tpu.data.interhand import PackedInterHand
+from renderih_tpu.ops.image import (
+    add_noise,
+    affine_mat,
+    normalize_imagenet,
+    transform_points2d,
+    warp_affine_bilinear,
+)
+from renderih_tpu.ops.rotation import rotmat_z
+
+
+def device_augment(
+    batch: dict,
+    rng: jax.Array,
+    img_size: int = 256,
+    theta_range: tuple = (-90.0, 90.0),
+    scale_range: tuple = (0.9, 1.1),
+    uv_range: tuple = (0.0, 0.0),
+    flip: bool = True,
+    noise: float = 0.0,
+    bone_length: float = 0.095,
+    train: bool = True,
+) -> dict:
+    """uint8 images + raw labels -> augmented, normalized training batch."""
+    img = batch["img_u8"].astype(jnp.float32)
+    b = img.shape[0]
+    k_theta, k_scale, k_u, k_v, k_flip, k_noise = jax.random.split(rng, 6)
+
+    hands = ("left", "right")
+    l2d = {h: {"v": batch[f"v2d_{h}"], "j": batch[f"j2d_{h}"]} for h in hands}
+    l3d = {h: {"v": batch[f"v3d_{h}"], "j": batch[f"j3d_{h}"]} for h in hands}
+
+    if train:
+        theta = jax.random.uniform(k_theta, (b,), minval=theta_range[0],
+                                   maxval=theta_range[1])
+        scale = jax.random.uniform(k_scale, (b,), minval=scale_range[0],
+                                   maxval=scale_range[1])
+        u = jax.random.uniform(k_u, (b,), minval=uv_range[0], maxval=uv_range[1])
+        v = jax.random.uniform(k_v, (b,), minval=uv_range[0], maxval=uv_range[1])
+        mat = affine_mat(theta, scale, u, v, float(img_size))
+        img = warp_affine_bilinear(img, mat, img_size)
+        rz = rotmat_z(theta)  # (B, 3, 3)
+        for h in hands:
+            for k in ("v", "j"):
+                l2d[h][k] = transform_points2d(l2d[h][k], mat)
+                l3d[h][k] = jnp.einsum("bij,bnj->bni", rz, l3d[h][k])
+        img = add_noise(img, k_noise, noise=noise)
+        do_flip = (
+            jax.random.uniform(k_flip, (b,)) > 0.5 if flip
+            else jnp.zeros((b,), bool)
+        )
+    else:
+        do_flip = jnp.zeros((b,), bool)
+
+    # 50% horizontal flip with hand swap (`core/loader.py:144-212`).
+    fm = do_flip[:, None, None, None]
+    img = jnp.where(fm, img[:, :, ::-1, :], img)
+
+    def flip2d(x):
+        return x.at[..., 0].set(img_size - x[..., 0])
+
+    def flip3d(x):
+        return x.at[..., 0].multiply(-1.0)
+
+    out2d, out3d = {}, {}
+    for h, other in (("left", "right"), ("right", "left")):
+        f2, f3 = do_flip[:, None, None], do_flip[:, None, None]
+        out2d[h] = {
+            k: jnp.where(f2, flip2d(l2d[other][k]), l2d[h][k]) for k in ("v", "j")
+        }
+        out3d[h] = {
+            k: jnp.where(f3, flip3d(l3d[other][k]), l3d[h][k]) for k in ("v", "j")
+        }
+
+    # Root-relative 3D (root = joint 9) + bone rescale (`:180-196`).
+    root = {h: out3d[h]["j"][:, 9:10] for h in hands}
+    root_rel = (root["right"] - root["left"])[:, 0]
+    for h in hands:
+        out3d[h] = {k: v - root[h] for k, v in out3d[h].items()}
+    length = 0.5 * (
+        jnp.linalg.norm(out3d["left"]["j"][:, 9] - out3d["left"]["j"][:, 0], axis=-1)
+        + jnp.linalg.norm(out3d["right"]["j"][:, 9] - out3d["right"]["j"][:, 0],
+                          axis=-1)
+    )
+    s = bone_length / (length + 1e-12)
+    root_rel = root_rel * s[:, None]
+    for h in hands:
+        out3d[h] = {k: v * s[:, None, None] for k, v in out3d[h].items()}
+
+    img = normalize_imagenet(img / 255.0)
+
+    return {
+        "img": img,
+        "v2d_left": out2d["left"]["v"], "j2d_left": out2d["left"]["j"],
+        "v2d_right": out2d["right"]["v"], "j2d_right": out2d["right"]["j"],
+        "v3d_left": out3d["left"]["v"], "j3d_left": out3d["left"]["j"],
+        "v3d_right": out3d["right"]["v"], "j3d_right": out3d["right"]["j"],
+        "root_rel": root_rel,
+    }
+
+
+class HostSampler:
+    """Per-host shard of a shuffled epoch (DistributedSampler equivalent)."""
+
+    def __init__(self, n: int, batch_size: int, host_id: int = 0,
+                 num_hosts: int = 1, seed: int = 0, drop_last: bool = True):
+        self.n = n
+        self.batch_size = batch_size
+        self.host_id = host_id
+        self.num_hosts = num_hosts
+        self.seed = seed
+        self.epoch = 0
+        self._order = None
+        self._pos = 0
+
+    def _reshuffle(self):
+        rng = np.random.default_rng(self.seed + self.epoch)
+        order = rng.permutation(self.n)
+        shard = order[self.host_id :: self.num_hosts]
+        usable = (len(shard) // self.batch_size) * self.batch_size
+        self._order = shard[:usable]
+        self._pos = 0
+
+    @property
+    def batches_per_epoch(self) -> int:
+        return (self.n // self.num_hosts) // self.batch_size
+
+    def next_indices(self) -> np.ndarray:
+        if self._order is None or self._pos >= len(self._order):
+            self._reshuffle()
+            self.epoch += 1
+        idx = self._order[self._pos : self._pos + self.batch_size]
+        self._pos += self.batch_size
+        return np.sort(idx)  # sorted slice = sequential memmap reads
+
+
+class DataProvider:
+    """Infinite provider: packed dataset -> host batches.
+
+    Equivalent of `utils/DataProvider.py:5-38` without worker processes;
+    augmentation runs on device via `device_augment`.
+    """
+
+    def __init__(self, dataset: PackedInterHand, batch_size: int,
+                 host_id: int = 0, num_hosts: int = 1, seed: int = 0):
+        self.dataset = dataset
+        self.sampler = HostSampler(len(dataset), batch_size, host_id,
+                                   num_hosts, seed)
+
+    @property
+    def batch_per_epoch(self) -> int:
+        return self.sampler.batches_per_epoch
+
+    def next(self) -> dict:
+        return self.dataset.batch(self.sampler.next_indices())

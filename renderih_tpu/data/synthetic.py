@@ -1,0 +1,60 @@
+"""Synthetic, geometrically-consistent training batches.
+
+Drives the synthetic MANO models with random poses/cameras to produce
+batches with *self-consistent* labels (verts2d really are the projection
+of verts3d under the sampled camera), so train-step and metric tests are
+meaningful end to end without real data. Label semantics match the
+runtime loader (`core/loader.py:180-219`): 3D labels are root-relative
+(root = joint 9), bone-rescaled to `bone_length`, and `root_rel` carries
+the right-to-left root offset after rescale.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from renderih_tpu.assets import Assets
+from renderih_tpu.mano.layer import mano_forward
+from renderih_tpu.ops.projection import orthographic_project
+from renderih_tpu.ops.rotation import rodrigues
+
+
+def synthetic_batch(
+    assets: Assets,
+    rng: jax.Array,
+    batch_size: int = 8,
+    img_size: int = 256,
+    bone_length: float = 0.095,
+) -> dict:
+    keys = jax.random.split(rng, 12)
+
+    def hand(model, k0, k1, k2, k3, k4):
+        root = rodrigues(jax.random.normal(k0, (batch_size, 3)) * 0.5)
+        pose = jax.random.normal(k1, (batch_size, 45)) * 0.3
+        shape = jax.random.normal(k2, (batch_size, 10)) * 0.5
+        v, j = mano_forward(model, root, pose, shape, center_idx=9)
+        # Bone-length normalize: |j9 - j0| -> bone_length
+        length = jnp.linalg.norm(j[:, 9] - j[:, 0], axis=-1, keepdims=True)
+        s = bone_length / (length + 1e-9)
+        v = v * s[:, :, None]
+        j = j * s[:, :, None]
+        scale = jax.random.uniform(k3, (batch_size,), minval=0.8, maxval=1.5)
+        trans2d = jax.random.uniform(k4, (batch_size, 2), minval=-0.3, maxval=0.3)
+        v2d = orthographic_project(scale, trans2d, v, img_size)
+        j2d = orthographic_project(scale, trans2d, j, img_size)
+        return v, j, v2d, j2d
+
+    v3d_l, j3d_l, v2d_l, j2d_l = hand(assets.left.mano, *keys[0:5])
+    v3d_r, j3d_r, v2d_r, j2d_r = hand(assets.right.mano, *keys[5:10])
+    root_rel = jax.random.normal(keys[10], (batch_size, 3)) * 0.05
+    img = jax.random.normal(keys[11], (batch_size, img_size, img_size, 3))
+
+    return {
+        "img": img,
+        "v3d_left": v3d_l, "j3d_left": j3d_l,
+        "v2d_left": v2d_l, "j2d_left": j2d_l,
+        "v3d_right": v3d_r, "j3d_right": j3d_r,
+        "v2d_right": v2d_r, "j2d_right": j2d_r,
+        "root_rel": root_rel,
+    }

@@ -1,0 +1,136 @@
+"""Full-dataset evaluation loop (reference `apps/eval_interhand.py`).
+
+Feeds the packed test split through the jitted model, accumulates the
+per-sample metric vectors on host, and prints the same summary the
+reference does: ori/scaled MPJPE/MPVPE, PA metrics, MRRPE, CDev —
+optionally bucketed by the inter-hand mask-IoU vector
+(`iou_0_27w.npy`-style, `apps/eval_interhand.py:230-235`).
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from renderih_tpu.assets import Assets
+from renderih_tpu.config import Config
+from renderih_tpu.data.interhand import PackedInterHand
+from renderih_tpu.data.pipeline import device_augment
+from renderih_tpu.eval.metrics import two_hand_metrics
+from renderih_tpu.models import HandNet, model_call_kwargs
+
+METRIC_KEYS = (
+    "ori_mpjpe", "ori_mpvpe", "mpjpe", "mpvpe", "pa_mpjpe", "pa_mpvpe",
+)
+
+
+def evaluate_packed(
+    cfg: Config,
+    model: HandNet,
+    variables: dict,
+    assets: Assets,
+    dataset: PackedInterHand,
+    batch_size: int = 512,
+    iou: np.ndarray | None = None,
+) -> dict:
+    call_kwargs = model_call_kwargs(cfg, assets)
+    j_reg = {"left": assets.left.j_reg_21, "right": assets.right.j_reg_21}
+
+    @jax.jit
+    def step(img_u8, v3d_left, v3d_right, root_rel_dummy):
+        batch = {"img_u8": img_u8}
+        # eval preprocessing: just normalize (no aug), reference
+        # `apps/eval_interhand.py:205-210`
+        from renderih_tpu.ops.image import normalize_imagenet
+
+        img = normalize_imagenet(img_u8.astype(jnp.float32) / 255.0)
+        out = model.apply(variables, img, train=False, **call_kwargs)
+        pred = {
+            "left": out.verts3d["left"],
+            "right": out.verts3d["right"],
+        }
+        gt = {"left": v3d_left, "right": v3d_right}
+        return two_hand_metrics(pred, gt, j_reg)
+
+    n = len(dataset)
+    acc: dict = {}
+    total_time = 0.0
+    for start in range(0, n, batch_size):
+        idx = np.arange(start, min(start + batch_size, n))
+        b = dataset.batch(idx)
+        t0 = time.perf_counter()
+        m = step(
+            jnp.asarray(b["img_u8"]),
+            jnp.asarray(b["v3d_left"]),
+            jnp.asarray(b["v3d_right"]),
+            0.0,
+        )
+        m = jax.device_get(m)
+        total_time += time.perf_counter() - t0
+        for k, v in m.items():
+            acc.setdefault(k, []).append(np.asarray(v))
+
+    vectors = {k: np.concatenate(v) for k, v in acc.items()}
+    summary = summarize(vectors, iou)
+    summary["images_per_sec"] = n / total_time if total_time > 0 else 0.0
+    summary["num_samples"] = n
+    return summary
+
+
+def _nanmean(x):
+    return float(np.nanmean(x)) if len(x) else float("nan")
+
+
+def summarize(vectors: dict, iou: np.ndarray | None = None) -> dict:
+    """Aggregate per-sample vectors into the reference's printed metrics (mm)."""
+    out = {}
+    for key in METRIC_KEYS:
+        left = vectors[f"{key}_left"]
+        right = vectors[f"{key}_right"]
+        out[f"{key}_left_mm"] = 1000.0 * left.mean()
+        out[f"{key}_right_mm"] = 1000.0 * right.mean()
+        out[f"{key}_mm"] = 500.0 * (left.mean() + right.mean())
+    out["mrrpe_mm"] = 1000.0 * vectors["mrrpe"].mean()
+    out["cdev_mm"] = 1000.0 * _nanmean(vectors["cdev"])
+
+    if iou is not None:
+        n = min(len(iou), len(vectors["mrrpe"]))
+        buckets = {
+            "iou033": iou[:n] < 0.33,
+            "iou067": (iou[:n] >= 0.33) & (iou[:n] < 0.67),
+            "iou1": iou[:n] >= 0.67,
+        }
+        for bname, mask in buckets.items():
+            if mask.sum() == 0:
+                continue
+            for key in ("ori_mpjpe", "mpjpe", "pa_mpjpe"):
+                l = vectors[f"{key}_left"][:n][mask]
+                r = vectors[f"{key}_right"][:n][mask]
+                out[f"{key}_{bname}_mm"] = 500.0 * (l.mean() + r.mean())
+            out[f"mrrpe_{bname}_mm"] = 1000.0 * vectors["mrrpe"][:n][mask].mean()
+            out[f"cdev_{bname}_mm"] = 1000.0 * _nanmean(vectors["cdev"][:n][mask])
+    return out
+
+
+def print_summary(summary: dict) -> None:
+    print("ori joint mpjpe:")
+    print(f"    left: {summary['ori_mpjpe_left_mm']:.3f} mm, "
+          f"right: {summary['ori_mpjpe_right_mm']:.3f} mm")
+    print(f"    all: {summary['ori_mpjpe_mm']:.3f} mm")
+    print("ori vert mean error:")
+    print(f"    all: {summary['ori_mpvpe_mm']:.3f} mm")
+    print("joint mean error (length-normalized):")
+    print(f"    all: {summary['mpjpe_mm']:.3f} mm")
+    print("vert mean error (length-normalized):")
+    print(f"    all: {summary['mpvpe_mm']:.3f} mm")
+    print("joint pa mean error:")
+    print(f"    all_pa: {summary['pa_mpjpe_mm']:.3f} mm")
+    print("vert pa mean error:")
+    print(f"    all_pa: {summary['pa_mpvpe_mm']:.3f} mm")
+    print(f"mrrpe: {summary['mrrpe_mm']:.3f} mm")
+    print(f"cdev: {summary['cdev_mm']:.3f} mm")
+    print(f"throughput: {summary['images_per_sec']:.1f} images/sec "
+          f"({summary['num_samples']} samples)")

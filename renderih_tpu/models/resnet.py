@@ -1,0 +1,150 @@
+"""ResNet encoder family (flax.linen, NHWC).
+
+Functionally equivalent to the torchvision trunks used by the reference
+encoder (`common/myhand/encoder_lijun.py:62-104`): conv1/bn/relu/maxpool +
+four stages, returning the 4-scale pyramid [C5, C4, C3, C2] =
+[(8,8,2048), (16,16,1024), (32,32,512), (64,64,256)] for a 256^2 input
+(resnet50). Layer naming is chosen so a torch state_dict maps 1:1 through
+`renderih_tpu/utils/checkpoint_convert.py`.
+
+TPU notes: NHWC layout (XLA-native), bf16 conv compute with f32 params and
+f32 batch-norm statistics via the `dtype` argument.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+_STAGES = {
+    "resnet18": ("basic", (2, 2, 2, 2)),
+    "resnet34": ("basic", (3, 4, 6, 3)),
+    "resnet50": ("bottleneck", (3, 4, 6, 3)),
+    "resnet101": ("bottleneck", (3, 4, 23, 3)),
+    "resnet152": ("bottleneck", (3, 8, 36, 3)),
+}
+
+
+class BasicBlock(nn.Module):
+    width: int
+    stride: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        bn = lambda name: nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=self.dtype, name=name,
+        )
+        identity = x
+        h = nn.Conv(self.width, (3, 3), (self.stride, self.stride),
+                    padding=1, use_bias=False, dtype=self.dtype, name="conv1")(x)
+        h = nn.relu(bn("bn1")(h))
+        h = nn.Conv(self.width, (3, 3), padding=1, use_bias=False,
+                    dtype=self.dtype, name="conv2")(h)
+        h = bn("bn2")(h)
+        if self.stride != 1 or x.shape[-1] != self.width:
+            identity = nn.Conv(self.width, (1, 1), (self.stride, self.stride),
+                               use_bias=False, dtype=self.dtype,
+                               name="downsample_conv")(x)
+            identity = bn("downsample_bn")(identity)
+        return nn.relu(h + identity)
+
+
+class Bottleneck(nn.Module):
+    width: int
+    stride: int = 1
+    dtype: Any = jnp.float32
+    expansion: int = 4
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        bn = lambda name: nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=self.dtype, name=name,
+        )
+        out_dim = self.width * self.expansion
+        identity = x
+        h = nn.Conv(self.width, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="conv1")(x)
+        h = nn.relu(bn("bn1")(h))
+        h = nn.Conv(self.width, (3, 3), (self.stride, self.stride), padding=1,
+                    use_bias=False, dtype=self.dtype, name="conv2")(h)
+        h = nn.relu(bn("bn2")(h))
+        h = nn.Conv(out_dim, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="conv3")(h)
+        h = bn("bn3")(h)
+        if self.stride != 1 or x.shape[-1] != out_dim:
+            identity = nn.Conv(out_dim, (1, 1), (self.stride, self.stride),
+                               use_bias=False, dtype=self.dtype,
+                               name="downsample_conv")(x)
+            identity = bn("downsample_bn")(identity)
+        return nn.relu(h + identity)
+
+
+class ResNet(nn.Module):
+    """ResNet trunk returning the 4-scale pyramid, coarsest first."""
+
+    model_type: str = "resnet50"
+    dtype: Any = jnp.float32
+
+    @property
+    def expansion(self) -> int:
+        return 4 if _STAGES[self.model_type][0] == "bottleneck" else 1
+
+    @property
+    def pyramid_dims(self) -> tuple:
+        e = self.expansion
+        return (512 * e, 256 * e, 128 * e, 64 * e)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        block_kind, counts = _STAGES[self.model_type]
+        block_cls = Bottleneck if block_kind == "bottleneck" else BasicBlock
+
+        h = nn.Conv(64, (7, 7), (2, 2), padding=3, use_bias=False,
+                    dtype=self.dtype, name="conv1")(x)
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=self.dtype, name="bn1")(h)
+        h = nn.relu(h)
+        h = nn.max_pool(h, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+
+        feats = []
+        for stage, num_blocks in enumerate(counts):
+            width = 64 * (2**stage)
+            for i in range(num_blocks):
+                stride = 2 if (i == 0 and stage > 0) else 1
+                h = block_cls(width, stride, self.dtype,
+                              name=f"layer{stage + 1}_{i}")(h, train)
+            feats.append(h)
+        # coarsest-first: [C5, C4, C3, C2]
+        return feats[::-1]
+
+
+class ResNetMid(nn.Module):
+    """Pyramid -> per-scale 1x1-projected fmaps + 2048-d global feature.
+
+    Mirrors `resnet_mid` (`encoder_lijun.py:107-146`): the global feature
+    is a GAP of the raw coarsest map; each scale goes through
+    conv1x1 -> ReLU -> BatchNorm (activation *before* BN, matching the
+    reference `conv1x1` helper, `models/model_zoo/__init__.py:56-62`).
+    """
+
+    out_dims: tuple = (256, 256, 256, 256)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, pyramid, train: bool = False):
+        global_feature = jnp.mean(pyramid[0], axis=(1, 2))
+        fmaps = []
+        for i, out_dim in enumerate(self.out_dims):
+            h = nn.Conv(out_dim, (1, 1), use_bias=False, dtype=self.dtype,
+                        name=f"proj{i}_conv")(pyramid[i])
+            h = nn.relu(h)
+            h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, dtype=self.dtype,
+                             name=f"proj{i}_bn")(h)
+            fmaps.append(h)
+        return global_feature, fmaps

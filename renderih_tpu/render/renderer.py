@@ -1,0 +1,114 @@
+"""Two-hand mesh renderer (reference `mano_two_hands_renderer`).
+
+Covers the rendering capabilities the pipeline uses
+(`utils/vis_utils.py:153-289`): RGB overlay from predicted orthographic
+cameras (`render_rgb_orth`), binary masks (`render_mask`) and
+vertex-color / densepose maps (`render_densepose`). Shading is Lambertian
+per-vertex (a light pointing down the camera axis), which matches the
+hard-Phong look of the reference demo overlays closely enough for
+visualization and mask supervision.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from renderih_tpu.assets import Assets
+from renderih_tpu.ops.projection import orthographic_project
+from renderih_tpu.render.rasterize import rasterize_orthographic
+
+_LEFT_COLOR = np.array([0.4, 0.55, 0.85])
+_RIGHT_COLOR = np.array([0.85, 0.55, 0.4])
+
+
+def _vertex_normals(verts: jax.Array, faces: jax.Array) -> jax.Array:
+    """Area-weighted per-vertex normals. verts: (V, 3)."""
+    tri = verts[faces]
+    fn = jnp.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])  # (F, 3)
+    vn = jnp.zeros_like(verts)
+    for i in range(3):
+        vn = vn.at[faces[:, i]].add(fn)
+    return vn / (jnp.linalg.norm(vn, axis=-1, keepdims=True) + 1e-9)
+
+
+class TwoHandRenderer:
+    """Renders the concatenated left+right MANO meshes."""
+
+    def __init__(self, assets: Assets, img_size: int = 256):
+        self.img_size = img_size
+        faces_l = np.asarray(assets.left.mano.faces)
+        faces_r = np.asarray(assets.right.mano.faces)
+        nv = int(max(faces_l.max(), faces_r.max())) + 1
+        self.faces = jnp.asarray(
+            np.concatenate([faces_l, faces_r + nv]), jnp.int32
+        )
+        self.num_verts = nv
+        self.base_colors = jnp.asarray(
+            np.concatenate([
+                np.tile(_LEFT_COLOR, (nv, 1)),
+                np.tile(_RIGHT_COLOR, (nv, 1)),
+            ]),
+            jnp.float32,
+        )
+
+    def _merge(self, verts_left, verts_right):
+        return jnp.concatenate([verts_left, verts_right], axis=1)  # (B, 2V, 3)
+
+    def render_rgb_orth(self, scale, trans2d, verts_left, verts_right):
+        """Hard-shaded RGB from predicted per-hand cameras.
+
+        scale/trans2d: {'left','right'} of (B,) / (B, 2).
+        Returns (rgb (B,H,W,3), mask (B,H,W)).
+        """
+        v2d_l = orthographic_project(scale["left"], trans2d["left"],
+                                     verts_left, self.img_size)
+        v2d_r = orthographic_project(scale["right"], trans2d["right"],
+                                     verts_right, self.img_size)
+        v2d = jnp.concatenate([v2d_l, v2d_r], axis=1)
+        verts = self._merge(verts_left, verts_right)
+        z = verts[..., 2]
+
+        def one(v2d_i, z_i, verts_i):
+            normals = _vertex_normals(verts_i, self.faces)
+            lambert = jnp.clip(-normals[:, 2], 0.2, 1.0)  # light along +z
+            colors = self.base_colors * lambert[:, None]
+            attrs = jnp.concatenate([colors, jnp.ones((colors.shape[0], 1))], -1)
+            attr, mask, _ = rasterize_orthographic(
+                v2d_i, z_i, attrs, self.faces,
+                height=self.img_size, width=self.img_size,
+            )
+            return attr[..., :3], mask
+
+        return jax.vmap(one)(v2d, z, verts)
+
+    def render_mask(self, scale, trans2d, verts_left, verts_right):
+        _, mask = self.render_rgb_orth(scale, trans2d, verts_left, verts_right)
+        return mask
+
+    def render_densepose(self, scale, trans2d, verts_left, verts_right,
+                         dense_colors: jax.Array):
+        """Vertex-color (densepose-style) map. dense_colors: (2V, 3)."""
+        v2d_l = orthographic_project(scale["left"], trans2d["left"],
+                                     verts_left, self.img_size)
+        v2d_r = orthographic_project(scale["right"], trans2d["right"],
+                                     verts_right, self.img_size)
+        v2d = jnp.concatenate([v2d_l, v2d_r], axis=1)
+        verts = self._merge(verts_left, verts_right)
+
+        def one(v2d_i, z_i):
+            attr, mask, _ = rasterize_orthographic(
+                v2d_i, z_i, dense_colors, self.faces,
+                height=self.img_size, width=self.img_size,
+            )
+            return attr, mask
+
+        return jax.vmap(one)(v2d, verts[..., 2])
+
+    def overlay(self, img01: jax.Array, rgb: jax.Array, mask: jax.Array,
+                alpha: float = 0.9) -> jax.Array:
+        """Alpha-blend the render over a background image (demo path,
+        `core/test_utils.py:81-99`)."""
+        m = (mask[..., None] * alpha)
+        return img01 * (1 - m) + rgb * m

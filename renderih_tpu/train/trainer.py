@@ -1,0 +1,157 @@
+"""SPMD train/eval steps (jit + sharding; DDP/ZeRO-1 expressed as shardings).
+
+Reference equivalent: the epoch loop body of `train_gcn`
+(`core/lijun_trainer.py:233-341`) — forward, `calc_loss_GCN`, backward,
+optimizer step — but as one jitted, donated, fully-sharded function:
+
+  * batch is sharded over the mesh 'data' axis; the loss is a global mean,
+    so gradients are reduced by XLA over ICI (DDP all-reduce equivalent).
+  * optimizer-state leaves are sharded over 'data' (ZeRO-1).
+  * optional tensor parallelism over the 'model' axis via param rules.
+  * `freeze_upsample` masks the 252->778 upsample weight out of the
+    optimizer entirely (matching requires_grad=False +
+    "not in optimizer" semantics of the reference,
+    `core/lijun_trainer.py:115-116`).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from renderih_tpu.assets import Assets
+from renderih_tpu.config import Config
+from renderih_tpu.losses.graph_loss import GraphLossWeights, two_hand_graph_loss
+from renderih_tpu.models.model import HandNet, model_call_kwargs
+from renderih_tpu.parallel.mesh import (
+    batch_sharding,
+    param_sharding_rules,
+    replicated_sharding,
+    zero1_sharding,
+)
+from renderih_tpu.train.state import (
+    TrainState,
+    make_frozen_optimizer,
+    upsample_mask,  # noqa: F401  (re-exported for tests)
+)
+
+
+def loss_weights_from_cfg(cfg: Config) -> GraphLossWeights:
+    return GraphLossWeights(
+        label_3d=cfg.loss.label_3d,
+        label_2d=cfg.loss.label_2d,
+        normal=cfg.loss.normal,
+        edge=cfg.loss.edge,
+        norm_epoch=cfg.loss.norm_epoch,
+        upsample=cfg.loss.upsample,
+    )
+
+
+def state_shardings(state: TrainState, mesh: Mesh, cfg: Config):
+    """NamedShardings for every TrainState leaf."""
+    def param_spec(path, leaf):
+        keys = "/".join(getattr(k, "key", str(k)) for k in path)
+        return NamedSharding(mesh, param_sharding_rules(keys, leaf.shape, mesh))
+
+    params_sh = jax.tree_util.tree_map_with_path(param_spec, state.params)
+    rep = replicated_sharding(mesh)
+    bs_sh = jax.tree_util.tree_map(lambda _: rep, state.batch_stats)
+    opt_sh = (
+        zero1_sharding(state.opt_state, mesh)
+        if cfg.train.zero1
+        else jax.tree_util.tree_map(lambda _: rep, state.opt_state)
+    )
+    return TrainState(step=rep, params=params_sh, batch_stats=bs_sh,
+                      opt_state=opt_sh)
+
+
+def shard_train_state(state: TrainState, mesh: Mesh, cfg: Config) -> TrainState:
+    sh = state_shardings(state, mesh, cfg)
+    return jax.tree_util.tree_map(jax.device_put, state, sh)
+
+
+def make_train_step(
+    cfg: Config,
+    model: HandNet,
+    assets: Assets,
+    steps_per_epoch: int,
+    mesh: Mesh | None = None,
+    params_template=None,
+):
+    """Build the jitted train step: (state, batch, rng) -> (state, metrics)."""
+    call_kwargs = model_call_kwargs(cfg, assets)
+    weights = loss_weights_from_cfg(cfg)
+    tx = make_frozen_optimizer(cfg, steps_per_epoch, params_template)
+
+    def step_fn(state: TrainState, batch: dict, rng: jax.Array):
+        epoch = state.step // steps_per_epoch
+
+        def loss_fn(params):
+            out, mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch["img"],
+                train=True,
+                **call_kwargs,
+                rngs={"dropout": rng},
+                mutable=["batch_stats"],
+            )
+            up_w = params["decoder"]["upsample_weight"]
+            total, terms = two_hand_graph_loss(
+                out, batch, assets, epoch, weights,
+                upsample_weight=up_w, img_size=cfg.model.img_size,
+            )
+            return total, (terms, mutated["batch_stats"])
+
+        (_, (terms, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_bs,
+            opt_state=new_opt,
+        )
+        return new_state, terms
+
+    if mesh is None:
+        return jax.jit(step_fn, donate_argnums=0), tx
+
+    assert params_template is not None
+    state_sh = None
+
+    def jitted(state, batch, rng):
+        nonlocal state_sh
+        if state_sh is None:
+            state_sh = state_shardings(state, mesh, cfg)
+        fn = jax.jit(
+            step_fn,
+            in_shardings=(
+                state_sh,
+                jax.tree_util.tree_map(lambda _: batch_sharding(mesh), batch),
+                replicated_sharding(mesh),
+            ),
+            out_shardings=(state_sh, None),
+            donate_argnums=0,
+        )
+        return fn(state, batch, rng)
+
+    return jitted, tx
+
+
+def make_eval_step(cfg: Config, model: HandNet, assets: Assets,
+                   mesh: Mesh | None = None):
+    """Jitted inference step: (variables, img) -> DecoderOutput."""
+    call_kwargs = model_call_kwargs(cfg, assets)
+
+    @partial(jax.jit, static_argnums=())
+    def eval_step(variables, img):
+        return model.apply(variables, img, train=False, **call_kwargs)
+
+    return eval_step

@@ -1,0 +1,122 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from renderih_tpu.assets import make_synthetic_assets
+from renderih_tpu.data.synthetic import synthetic_batch
+from renderih_tpu.losses import (
+    GraphLossWeights,
+    edge_length_loss,
+    normal_loss,
+    sigmoid_focal_loss,
+    dice_loss,
+    smooth_l1,
+    two_hand_graph_loss,
+)
+from renderih_tpu.models.decoder import DecoderOutput
+from renderih_tpu.ops.projection import orthographic_project
+
+
+@pytest.fixture(scope="module")
+def assets():
+    return make_synthetic_assets(seed=0)
+
+
+def test_smooth_l1_matches_torch_def():
+    pred = jnp.asarray([0.0, 0.5, 2.0])
+    tgt = jnp.zeros(3)
+    # |d|<1 -> 0.5 d^2 ; else |d|-0.5
+    want = np.mean([0.0, 0.5 * 0.25, 1.5])
+    np.testing.assert_allclose(float(smooth_l1(pred, tgt)), want, rtol=1e-6)
+
+
+def test_normal_edge_zero_for_identical(assets):
+    rng = np.random.default_rng(0)
+    v = jnp.asarray(rng.normal(size=(2, 778, 3)).astype(np.float32))
+    faces = assets.left.mano.faces
+    assert float(normal_loss(v, v, faces)) < 1e-5
+    assert float(edge_length_loss(v, v, faces)) == 0.0
+
+
+def _perfect_output(assets, batch, img_size=256.0):
+    """DecoderOutput whose predictions equal ground truth."""
+    from renderih_tpu.graph.ops import graph_pool_avg, vert_to_gcn
+
+    v3d = {
+        "left": batch["v3d_left"],
+        "right": batch["v3d_right"] + batch["root_rel"][:, None, :],
+    }
+    v2d = {"left": batch["v2d_left"], "right": batch["v2d_right"]}
+    coarse3d, coarse2d = {}, {}
+    for hand, ha in (("left", assets.left), ("right", assets.right)):
+        gcn3 = vert_to_gcn(v3d[hand], ha.perm)
+        gcn2 = vert_to_gcn(v2d[hand], ha.perm)
+        coarse3d[hand] = [graph_pool_avg(gcn3, 4)]
+        coarse2d[hand] = [graph_pool_avg(gcn2, 4)]
+    b = batch["root_rel"].shape[0]
+    return DecoderOutput(
+        verts3d=v3d, verts2d=v2d,
+        scale={"left": jnp.ones(b), "right": jnp.ones(b)},
+        trans2d={"left": jnp.zeros((b, 2)), "right": jnp.zeros((b, 2))},
+        coarse_verts3d=coarse3d, coarse_verts2d=coarse2d,
+        mano_pose=None, mano_shape=None,
+    )
+
+
+def test_zero_loss_on_perfect_prediction(assets):
+    batch = synthetic_batch(assets, jax.random.PRNGKey(0), batch_size=2)
+    out = _perfect_output(assets, batch)
+    total, terms = two_hand_graph_loss(out, batch, assets, epoch=100)
+    assert float(terms["vert3d"]) < 1e-6
+    assert float(terms["vert2d"]) < 1e-8
+    assert float(terms["joint"]) < 1e-6
+    assert float(terms["edge"]) < 1e-6
+    # normal loss ~0 for identical meshes
+    assert float(terms["normal"]) < 1e-4
+    assert float(total) < 0.05
+
+
+def test_loss_positive_on_wrong_prediction(assets):
+    batch = synthetic_batch(assets, jax.random.PRNGKey(0), batch_size=2)
+    out = _perfect_output(assets, batch)
+    wrong = out._replace(
+        verts3d={k: v + 0.01 for k, v in out.verts3d.items()}
+    )
+    total, terms = two_hand_graph_loss(wrong, batch, assets, epoch=100)
+    assert float(terms["vert3d"]) > 1e-6
+    assert float(total) > 0.0
+
+
+def test_edge_loss_gated_by_epoch(assets):
+    batch = synthetic_batch(assets, jax.random.PRNGKey(0), batch_size=2)
+    out = _perfect_output(assets, batch)
+    noisy = out._replace(
+        verts3d={k: v * 1.1 for k, v in out.verts3d.items()}
+    )
+    w = GraphLossWeights()
+    t_early, _ = two_hand_graph_loss(noisy, batch, assets, epoch=0, weights=w)
+    t_late, _ = two_hand_graph_loss(noisy, batch, assets, epoch=60, weights=w)
+    assert float(t_late) > float(t_early)
+
+
+def test_upsample_anchor(assets):
+    batch = synthetic_batch(assets, jax.random.PRNGKey(0), batch_size=2)
+    out = _perfect_output(assets, batch)
+    w = assets.left.upsample_init
+    _, terms0 = two_hand_graph_loss(
+        out, batch, assets, epoch=0, upsample_weight=w
+    )
+    assert float(terms0["upsample_norm"]) == 0.0
+    _, terms1 = two_hand_graph_loss(
+        out, batch, assets, epoch=0, upsample_weight=w + 0.1
+    )
+    assert float(terms1["upsample_norm"]) > 0.0
+
+
+def test_focal_and_dice():
+    logits = jnp.asarray([[10.0, -10.0], [-10.0, 10.0]])
+    targets = jnp.asarray([[1.0, 0.0], [0.0, 1.0]])
+    assert float(sigmoid_focal_loss(logits, targets)) < 1e-4
+    pred = jnp.ones((1, 8, 8))
+    assert float(dice_loss(pred, pred)) < 1e-3

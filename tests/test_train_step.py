@@ -1,0 +1,127 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from renderih_tpu.assets import make_synthetic_assets
+from renderih_tpu.config import Config, ModelConfig, TrainConfig
+from renderih_tpu.data.synthetic import synthetic_batch
+from renderih_tpu.models import init_model, model_call_kwargs
+from renderih_tpu.parallel.mesh import make_mesh, shard_batch
+from renderih_tpu.train.state import create_train_state
+from renderih_tpu.train.trainer import (
+    make_train_step,
+    shard_train_state,
+    upsample_mask,
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = Config(
+        model=ModelConfig(encoder="resnet18"),
+        train=TrainConfig(precision="f32", batch_size=8),
+    )
+    assets = make_synthetic_assets(seed=0)
+    model, variables = init_model(cfg, assets, jax.random.PRNGKey(0))
+    return cfg, assets, model, variables
+
+
+def test_single_device_train_step_decreases_loss(setup):
+    cfg, assets, model, variables = setup
+    # no warmup + real lr so 5 steps visibly reduce the loss
+    from dataclasses import replace
+
+    cfg2 = replace(cfg, train=replace(cfg.train, warmup_epochs=0, lr=1e-3))
+    state = create_train_state(cfg2, variables, steps_per_epoch=1000)
+    step, _ = make_train_step(
+        cfg2, model, assets, steps_per_epoch=1000,
+        params_template=variables["params"],
+    )
+    batch = synthetic_batch(assets, jax.random.PRNGKey(1), batch_size=2)
+    losses = []
+    for i in range(5):
+        # same dropout key every step: deterministic descent on one batch
+        state, terms = step(state, batch, jax.random.PRNGKey(7))
+        losses.append(float(terms["total"]))
+    assert np.all(np.isfinite(losses))
+    assert losses[-1] < losses[0]
+    assert int(state.step) == 5
+
+
+def test_upsample_frozen(setup):
+    cfg, assets, model, variables = setup
+    assert cfg.model.freeze_upsample
+    state = create_train_state(cfg, variables, steps_per_epoch=10)
+    w0 = np.asarray(state.params["decoder"]["upsample_weight"])
+    step, _ = make_train_step(
+        cfg, model, assets, steps_per_epoch=10,
+        params_template=variables["params"],
+    )
+    batch = synthetic_batch(assets, jax.random.PRNGKey(1), batch_size=2)
+    state, _ = step(state, batch, jax.random.PRNGKey(2))
+    w1 = np.asarray(state.params["decoder"]["upsample_weight"])
+    np.testing.assert_allclose(w0, w1, atol=0)
+    # but other params moved
+    k0 = np.asarray(variables["params"]["decoder"]["coord_head"]["kernel"])
+    k1 = np.asarray(state.params["decoder"]["coord_head"]["kernel"])
+    assert np.abs(k0 - k1).max() > 0
+
+
+def test_upsample_mask_structure(setup):
+    _, _, _, variables = setup
+    mask = upsample_mask(variables["params"])
+    leaves = jax.tree_util.tree_leaves(mask)
+    assert sum(1 for l in leaves if l is False) == 1
+    assert all(isinstance(l, bool) for l in leaves)
+
+
+def test_sharded_train_step_8_devices(setup):
+    cfg, assets, model, variables = setup
+    assert len(jax.devices()) == 8
+    mesh = make_mesh(data=8, model=1)
+    state = create_train_state(cfg, variables, steps_per_epoch=10)
+    state = shard_train_state(state, mesh, cfg)
+    step, _ = make_train_step(
+        cfg, model, assets, steps_per_epoch=10, mesh=mesh,
+        params_template=variables["params"],
+    )
+    batch = synthetic_batch(assets, jax.random.PRNGKey(1), batch_size=8)
+    batch = shard_batch(batch, mesh)
+    state, terms = step(state, batch, jax.random.PRNGKey(2))
+    assert np.isfinite(float(terms["total"]))
+    # optimizer state is actually sharded over 'data' (ZeRO-1)
+    opt_leaves = jax.tree_util.tree_leaves(state.opt_state)
+    sharded = [
+        l for l in opt_leaves
+        if hasattr(l, "sharding") and getattr(l.sharding, "spec", None)
+        and any(s == "data" for s in l.sharding.spec)
+    ]
+    assert len(sharded) > 0
+
+
+def test_sharded_matches_single_device(setup):
+    """Same initial state + batch => same loss on 1 and 8 devices."""
+    cfg, assets, model, variables = setup
+    batch = synthetic_batch(assets, jax.random.PRNGKey(1), batch_size=8)
+
+    state1 = create_train_state(cfg, variables, steps_per_epoch=10)
+    step1, _ = make_train_step(
+        cfg, model, assets, steps_per_epoch=10,
+        params_template=variables["params"],
+    )
+    _, terms1 = step1(state1, batch, jax.random.PRNGKey(2))
+
+    mesh = make_mesh(data=8, model=1)
+    state8 = create_train_state(cfg, variables, steps_per_epoch=10)
+    state8 = shard_train_state(state8, mesh, cfg)
+    step8, _ = make_train_step(
+        cfg, model, assets, steps_per_epoch=10, mesh=mesh,
+        params_template=variables["params"],
+    )
+    _, terms8 = step8(state8, shard_batch(batch, mesh), jax.random.PRNGKey(2))
+
+    # batch-stats/loss means are identical up to reduction order
+    np.testing.assert_allclose(
+        float(terms1["vert3d"]), float(terms8["vert3d"]), rtol=2e-4
+    )
