@@ -17,6 +17,12 @@ import time
 import jax
 import jax.numpy as jnp
 
+# Persistent compilation cache: first compile of the flagship graph takes
+# minutes through the remote-compile tunnel; subsequent runs are instant.
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_CACHE_DIR", "/root/.jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 
 def main():
     from renderih_tpu.assets import make_synthetic_assets

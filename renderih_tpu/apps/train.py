@@ -63,6 +63,7 @@ def main(argv=None):
     log.info("mesh: data=%d model=%d devices=%s", n_data,
              mesh.shape["model"], jax.devices()[0].platform)
 
+    eval_dataset = None
     if args.synthetic or not args.data:
         root = os.path.join(cfg.train.checkpoint_dir, "_synth_data")
         dataset = make_synthetic_packed(root, "train", assets, n=256)
@@ -70,6 +71,10 @@ def main(argv=None):
     else:
         dataset = PackedInterHand.load(args.data, "train")
         log.info("packed dataset: %d samples", len(dataset))
+        test_labels = os.path.join(args.data, "test_labels.npz")
+        if os.path.exists(test_labels):
+            eval_dataset = PackedInterHand.load(args.data, "test")
+            log.info("eval dataset: %d samples", len(eval_dataset))
 
     global_batch = cfg.train.batch_size * n_data
     provider = DataProvider(dataset, batch_size=global_batch,
@@ -131,6 +136,25 @@ def main(argv=None):
             )
             save_checkpoint(path, state)
             log.info("saved checkpoint %s", path)
+
+        # in-training eval every `eval_every` epochs on the test split
+        # (reference `core/lijun_trainer.py:357-569`)
+        if (
+            eval_dataset is not None
+            and (i + 1) % steps_per_epoch == 0
+            and epoch % cfg.train.eval_every == 0
+        ):
+            from renderih_tpu.eval.evaluator import evaluate_packed
+
+            variables = {"params": state.params,
+                         "batch_stats": state.batch_stats}
+            summary = evaluate_packed(cfg, model, variables, assets,
+                                      eval_dataset, batch_size=global_batch)
+            log.info(
+                "eval epoch %d: mpjpe %.2f mm mpvpe %.2f mm pa %.2f mm",
+                epoch, summary["mpjpe_mm"], summary["mpvpe_mm"],
+                summary["pa_mpjpe_mm"],
+            )
 
     final = os.path.abspath(os.path.join(cfg.train.checkpoint_dir, "final"))
     save_checkpoint(final, state)

@@ -40,29 +40,48 @@ def _label_shape(key: str) -> tuple:
 
 @dataclass
 class PackedInterHand:
-    """Memory-mapped packed dataset."""
+    """Packed dataset; image gathers go through the native reader when
+    available (GIL-free threaded mmap gather,
+    `renderih_tpu/data/native_reader.py` + `native/packed_reader.cpp`)."""
 
-    images: np.ndarray  # uint8 memmap (N, 256, 256, 3)
-    labels: dict        # str -> float32 (N, ...)
+    images: np.ndarray | None   # uint8 memmap (N, 256, 256, 3) fallback
+    labels: dict                # str -> float32 (N, ...)
+    reader: object = None       # PackedReader or None
 
     def __len__(self) -> int:
+        if self.reader is not None:
+            return len(self.reader)
         return self.images.shape[0]
 
     def batch(self, idx: np.ndarray) -> dict:
-        out = {"img_u8": np.asarray(self.images[idx])}
+        if self.reader is not None:
+            img = self.reader.gather(np.asarray(idx, np.int64))
+        else:
+            img = np.asarray(self.images[idx])
+        out = {"img_u8": img}
         for k, v in self.labels.items():
             out[k] = np.asarray(v[idx])
         return out
 
     @classmethod
-    def load(cls, root: str, split: str) -> "PackedInterHand":
+    def load(cls, root: str, split: str,
+             use_native: bool = True) -> "PackedInterHand":
         labels = dict(np.load(os.path.join(root, f"{split}_labels.npz")))
         n = labels[LABEL_KEYS[0]].shape[0]
-        images = np.memmap(
-            os.path.join(root, f"{split}_images.u8"), dtype=np.uint8,
-            mode="r", shape=(n, IMG_SIZE, IMG_SIZE, 3),
-        )
-        return cls(images=images, labels=labels)
+        path = os.path.join(root, f"{split}_images.u8")
+        reader = None
+        images = None
+        if use_native:
+            try:
+                from renderih_tpu.data.native_reader import PackedReader
+
+                reader = PackedReader(path, (IMG_SIZE, IMG_SIZE, 3))
+            except Exception:
+                reader = None
+        if reader is None:
+            images = np.memmap(path, dtype=np.uint8, mode="r",
+                               shape=(n, IMG_SIZE, IMG_SIZE, 3))
+        return cls(images=images, labels=labels, reader=reader)
 
 
 def load_reference_sample(data_path: str, split: str, idx: int):

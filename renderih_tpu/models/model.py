@@ -38,6 +38,11 @@ class HandNet(nn.Module):
 
             self.encoder = ViTEncoder(model_type=m.encoder, dtype=self.dtype)
             self.mid = ViTMid(out_dims=tuple(m.deconv_dims), dtype=self.dtype)
+        elif m.encoder.startswith("hrnet"):
+            from renderih_tpu.models.hrnet import HRNetEncoder, HRNetMid
+
+            self.encoder = HRNetEncoder(model_type=m.encoder, dtype=self.dtype)
+            self.mid = HRNetMid(out_dims=tuple(m.deconv_dims), dtype=self.dtype)
         else:
             raise ValueError(f"unknown encoder {m.encoder}")
 

@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Per-sample inter-hand mask IoU over a packed dataset.
+
+Equivalent of the reference's `utils/compute_maskiou.py` +
+`utils/get_maskiou.py`: renders each hand's GT mesh separately (our JAX
+rasterizer instead of pytorch3d) and computes IoU of the two masks. The
+output vector buckets eval metrics by interaction severity
+(`apps/eval_interhand.py:230-235`).
+
+  python tools/compute_maskiou.py --data packed/ --split test --out iou.npy
+"""
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..")))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--data", required=True)
+    p.add_argument("--split", default="test")
+    p.add_argument("--out", required=True)
+    p.add_argument("--res", type=int, default=64,
+                   help="mask resolution (IoU is resolution-insensitive)")
+    p.add_argument("--bs", type=int, default=64)
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from renderih_tpu.assets import make_synthetic_assets
+    from renderih_tpu.config import load_config
+    from renderih_tpu.data.interhand import IMG_SIZE, PackedInterHand
+    from renderih_tpu.render.rasterize import rasterize_orthographic
+
+    assets = make_synthetic_assets()  # faces only; replace via --cfg if needed
+    dataset = PackedInterHand.load(args.data, args.split)
+    res = args.res
+    sc = res / IMG_SIZE
+
+    faces_l = assets.left.mano.faces
+    faces_r = assets.right.mano.faces
+
+    @jax.jit
+    def masks(v2d_l, z_l, v2d_r, z_r):
+        def one(v2d, z, faces):
+            attrs = jnp.ones((v2d.shape[0], 1))
+            _, mask, _ = rasterize_orthographic(
+                v2d * sc, z, attrs, faces, height=res, width=res, row_block=8
+            )
+            return mask
+
+        ml = jax.vmap(lambda a, b: one(a, b, faces_l))(v2d_l, z_l)
+        mr = jax.vmap(lambda a, b: one(a, b, faces_r))(v2d_r, z_r)
+        inter = jnp.sum(ml & mr, axis=(1, 2))
+        union = jnp.sum(ml | mr, axis=(1, 2))
+        return inter / jnp.maximum(union, 1)
+
+    n = len(dataset)
+    ious = np.zeros(n, np.float32)
+    for start in range(0, n, args.bs):
+        idx = np.arange(start, min(start + args.bs, n))
+        b = dataset.batch(idx)
+        ious[idx] = np.asarray(masks(
+            jnp.asarray(b["v2d_left"]), jnp.asarray(b["v3d_left"][..., 2]),
+            jnp.asarray(b["v2d_right"]), jnp.asarray(b["v3d_right"][..., 2]),
+        ))
+        if start % (args.bs * 10) == 0:
+            print(f"{start}/{n}")
+    np.save(args.out, ious)
+    print(f"saved {n} IoUs -> {args.out} "
+          f"(mean {ious.mean():.3f}, >0.67: {(ious >= 0.67).mean():.2%})")
+
+
+if __name__ == "__main__":
+    main()
