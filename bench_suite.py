@@ -1,0 +1,141 @@
+"""Extended benchmark suite — the five BASELINE.md configurations.
+
+`bench.py` prints the single headline JSON line the driver records;
+this suite measures all five reference benchmark configs and writes
+BENCH_DETAILS.json:
+
+  1. single-image two-hand inference latency (demo path)
+  2. batched MANO forward, L+R, batch 256
+  3. val-subset eval (preprocess + inference + MPJPE/MPVPE, 1k frames)
+  4. GCN mesh-refinement head alone, batch 64
+  5. ViTPose-backbone variant, batch 128
+
+  python bench_suite.py [--quick]
+"""
+
+import argparse
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_CACHE_DIR", "/root/.jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def timed(fn, *args, iters=10):
+    jax.block_until_ready(fn(*args))  # compile + warmup
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--quick", action="store_true",
+                        help="fewer iters / skip the ViT config")
+    args = parser.parse_args()
+    iters = 3 if args.quick else 10
+
+    from renderih_tpu.assets import make_synthetic_assets
+    from renderih_tpu.config import Config, ModelConfig
+    from renderih_tpu.data.synthetic import synthetic_batch
+    from renderih_tpu.eval.evaluator import evaluate_packed
+    from renderih_tpu.data.interhand import make_synthetic_packed
+    from renderih_tpu.mano.layer import mano_forward
+    from renderih_tpu.models import init_model, model_call_kwargs
+    from renderih_tpu.models.decoder import GraphDecoder
+    from renderih_tpu.ops.rotation import rodrigues
+
+    assets = make_synthetic_assets(seed=0)
+    results = {}
+
+    # ---- 1. single-image inference latency (flagship demo path) ----
+    cfg = Config()
+    model, variables = init_model(cfg, assets, jax.random.PRNGKey(0))
+    kw = model_call_kwargs(cfg, assets)
+
+    @jax.jit
+    def fwd1(v, img):
+        out = model.apply(v, img, train=False, **kw)
+        return out.verts3d["left"], out.verts3d["right"]
+
+    img1 = jax.random.normal(jax.random.PRNGKey(1), (1, 256, 256, 3))
+    dt = timed(fwd1, variables, img1, iters=iters)
+    results["single_image_latency_ms"] = round(dt * 1000, 3)
+
+    # ---- 2. batched MANO forward, L+R, batch 256 ----
+    b = 256
+    root = rodrigues(jax.random.normal(jax.random.PRNGKey(2), (b, 3)))
+    pose = jax.random.normal(jax.random.PRNGKey(3), (b, 45)) * 0.3
+    shape = jax.random.normal(jax.random.PRNGKey(4), (b, 10)) * 0.3
+
+    @jax.jit
+    def mano2(root, pose, shape):
+        vl, jl = mano_forward(assets.left.mano, root, pose, shape)
+        vr, jr = mano_forward(assets.right.mano, root, pose, shape)
+        return vl, jl, vr, jr
+
+    dt = timed(mano2, root, pose, shape, iters=max(iters, 20))
+    results["mano_fwd_batch256_both_hands_ms"] = round(dt * 1000, 3)
+    results["mano_fwd_hands_per_sec"] = round(2 * b / dt, 1)
+
+    # ---- 3. 1k-frame val-subset eval ----
+    n_eval = 256 if args.quick else 1000
+    ds = make_synthetic_packed("/tmp/bench_eval", "test", assets, n=n_eval)
+    t0 = time.perf_counter()
+    summary = evaluate_packed(cfg, model, variables, assets, ds,
+                              batch_size=256)
+    results["eval_1k_total_s"] = round(time.perf_counter() - t0, 2)
+    results["eval_images_per_sec"] = round(summary["images_per_sec"], 1)
+
+    # ---- 4. GCN mesh-refinement head alone, batch 64 ----
+    decoder = GraphDecoder(verts_nums=assets.left.verts_nums)
+    gf = jax.random.normal(jax.random.PRNGKey(5), (64, 2048))
+    fmaps = [
+        jax.random.normal(jax.random.PRNGKey(6 + i), (64, s, s, 256))
+        for i, s in enumerate((8, 16, 32))
+    ]
+    dec_vars = decoder.init(
+        jax.random.PRNGKey(9), gf, fmaps, assets.left.pe, assets.right.pe,
+        assets.left.upsample_init,
+    )
+
+    @jax.jit
+    def dec_fwd(v, gf, f0, f1, f2):
+        out = decoder.apply(v, gf, [f0, f1, f2], assets.left.pe,
+                            assets.right.pe, assets.left.upsample_init)
+        return out.verts3d["left"]
+
+    dt = timed(dec_fwd, dec_vars, gf, *fmaps, iters=iters)
+    results["gcn_head_batch64_ms"] = round(dt * 1000, 3)
+
+    # ---- 5. ViTPose variant, batch 128 ----
+    if not args.quick:
+        cfg_v = Config(model=ModelConfig(encoder="vit_base", decoder="graph"))
+        model_v, vars_v = init_model(cfg_v, assets, jax.random.PRNGKey(0))
+        kw_v = model_call_kwargs(cfg_v, assets)
+
+        @jax.jit
+        def fwd_v(v, img):
+            out = model_v.apply(v, img, train=False, **kw_v)
+            return out.verts3d["left"]
+
+        img128 = jax.random.normal(jax.random.PRNGKey(10), (128, 256, 256, 3))
+        dt = timed(fwd_v, vars_v, img128, iters=max(iters // 2, 2))
+        results["vitpose_batch128_images_per_sec"] = round(128 / dt, 1)
+
+    results["device"] = str(jax.devices()[0])
+    print(json.dumps(results, indent=2))
+    with open("BENCH_DETAILS.json", "w") as f:
+        json.dump(results, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

@@ -17,6 +17,10 @@ import os
 from glob import glob
 
 import jax
+
+from renderih_tpu.utils.jax_cache import enable_compilation_cache
+
+enable_compilation_cache()
 import jax.numpy as jnp
 import numpy as np
 

@@ -10,6 +10,10 @@ import argparse
 import json
 
 import jax
+
+from renderih_tpu.utils.jax_cache import enable_compilation_cache
+
+enable_compilation_cache()
 import numpy as np
 
 from renderih_tpu.assets import load_assets

@@ -18,6 +18,10 @@ import os
 import time
 
 import jax
+
+from renderih_tpu.utils.jax_cache import enable_compilation_cache
+
+enable_compilation_cache()
 import jax.numpy as jnp
 import numpy as np
 
@@ -33,6 +37,7 @@ from renderih_tpu.train.state import (
     save_checkpoint,
 )
 from renderih_tpu.train.trainer import make_train_step, shard_train_state
+from renderih_tpu.utils.metrics_writer import MetricsWriter
 
 log = logging.getLogger("renderih_tpu.train")
 
@@ -105,6 +110,7 @@ def main(argv=None):
         bone_length=cfg.data.bone_length, train=True,
     ))
 
+    writer = MetricsWriter(cfg.train.checkpoint_dir)
     total_steps = args.steps or cfg.train.epochs * steps_per_epoch
     t0 = time.perf_counter()
     step0 = int(jax.device_get(state.step))
@@ -128,6 +134,8 @@ def main(argv=None):
                 float(terms["total"]), float(terms["vert3d"]),
                 float(terms["vert2d"]), float(terms["joint"]), ips,
             )
+            writer.write(i + 1, terms, prefix="train/")
+            writer.write(i + 1, {"images_per_sec": ips})
 
         epoch = (i + 1) // steps_per_epoch
         if (i + 1) % steps_per_epoch == 0 and epoch % cfg.train.save_gap == 0:
@@ -155,6 +163,7 @@ def main(argv=None):
                 epoch, summary["mpjpe_mm"], summary["mpvpe_mm"],
                 summary["pa_mpjpe_mm"],
             )
+            writer.write(i + 1, summary, prefix="eval/")
 
     final = os.path.abspath(os.path.join(cfg.train.checkpoint_dir, "final"))
     save_checkpoint(final, state)

@@ -42,6 +42,9 @@ class ModelConfig:
     grid_size: int = 8
     img_size: int = 256
     freeze_upsample: bool = True
+    # Auxiliary heatmap/mask/densepose heads (off in the flagship recipe,
+    # matching `core/Loss.py:210-211`).
+    with_aux_heads: bool = False
 
 
 @dataclass

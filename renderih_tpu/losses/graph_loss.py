@@ -199,3 +199,31 @@ def two_hand_graph_loss(
     terms["coarse2d"] = sum(coarse2d_terms)
     terms["total"] = total
     return total, terms
+
+
+def aux_losses(aux: dict, batch: dict, w_mask: float = 500.0,
+               w_dense: float = 30.0, w_hms: float = 100.0) -> dict:
+    """Auxiliary head supervision (`calc_aux_loss`, `core/Loss.py:180-198`).
+
+    Expects targets in `batch`: 'hms' (B, 64, 64, 42), 'mask' (B, 64, 64),
+    'dense' (B, 64, 64, 6). Disabled in the flagship recipe; weights match
+    `LOSS_WEIGHT.AUX` (`utils/defaults.yaml:51-54`).
+    """
+    terms = {}
+    total = 0.0
+    if "mask" in batch and aux.get("mask") is not None:
+        terms["mask"] = smooth_l1(aux["mask"], batch["mask"], beta=0.05)
+        total = total + w_mask * terms["mask"]
+    if "dense" in batch and aux.get("dense") is not None:
+        m = batch.get("mask")
+        pred, tgt = aux["dense"], batch["dense"]
+        if m is not None:
+            pred = pred * m[..., None]
+            tgt = tgt * m[..., None]
+        terms["dense"] = smooth_l1(pred, tgt, beta=0.05)
+        total = total + w_dense * terms["dense"]
+    if "hms" in batch and aux.get("hms") is not None:
+        terms["hms"] = jnp.mean((aux["hms"] - batch["hms"]) ** 2)
+        total = total + w_hms * terms["hms"]
+    terms["total"] = total
+    return terms

@@ -42,6 +42,18 @@ class MlpResBlock(nn.Module):
         return x + h
 
 
+# Inference fast path: route attention through the Pallas fused kernel
+# (renderih_tpu/kernels/fused_attention.py). Trace-time switch — flip it
+# before jitting (e.g. `set_fused_attention(True)` in eval/bench scripts).
+# Training keeps the XLA path (the kernel has no attention dropout).
+_USE_PALLAS_ATTENTION = False
+
+
+def set_fused_attention(enabled: bool) -> None:
+    global _USE_PALLAS_ATTENTION
+    _USE_PALLAS_ATTENTION = enabled
+
+
 def _mha(q, k, v, n_heads: int, dropout: nn.Dropout | None = None,
          deterministic: bool = True):
     """Plain multi-head attention core. q/k: (B, N, H*Dq), v: (B, N, H*Dv)."""
@@ -50,6 +62,10 @@ def _mha(q, k, v, n_heads: int, dropout: nn.Dropout | None = None,
     q = q.reshape(b, n, n_heads, -1)
     k = k.reshape(b, m, n_heads, -1)
     v = v.reshape(b, m, n_heads, -1)
+    if _USE_PALLAS_ATTENTION and deterministic:
+        from renderih_tpu.kernels.fused_attention import fused_mha
+
+        return fused_mha(q, k, v)
     scale = 1.0 / jnp.sqrt(q.shape[-1]).astype(q.dtype)
     logits = jnp.einsum("bnhd,bmhd->bhnm", q, k) * scale
     attn = jax.nn.softmax(logits, axis=-1)

@@ -32,6 +32,7 @@ class DecoderOutput(NamedTuple):
     coarse_verts2d: dict   # projections of the above
     mano_pose: dict | None     # optional MANO-param head outputs
     mano_shape: dict | None
+    aux: dict | None = None    # optional {'hms','mask','dense'} head outputs
 
 
 class ParamRegressor(nn.Module):

@@ -46,6 +46,13 @@ class HandNet(nn.Module):
         else:
             raise ValueError(f"unknown encoder {m.encoder}")
 
+        if m.with_aux_heads:
+            from renderih_tpu.models.resnet import AuxDecoderHead
+
+            # 21 joints x 2 hands heatmaps; 1 mask + 3x2 densepose
+            self.hms_head = AuxDecoderHead(out_dim=42, dtype=self.dtype)
+            self.dp_head = AuxDecoderHead(out_dim=7, dtype=self.dtype)
+
         self.decoder = GraphDecoder(
             verts_nums=self.verts_nums,
             gcn_in_dims=tuple(m.gcn_in_dims),
@@ -78,10 +85,20 @@ class HandNet(nn.Module):
         # Decoder runs in f32: tiny FLOPs, precision-sensitive heads.
         global_feature = global_feature.astype(jnp.float32)
         fmaps = [f.astype(jnp.float32) for f in fmaps]
-        return self.decoder(
+        out = self.decoder(
             global_feature, fmaps, pe_left, pe_right, upsample_init,
             laps_left, laps_right, deterministic=not train,
         )
+        if self.cfg.model.with_aux_heads:
+            coarsest = pyramid[0]
+            aux = {
+                "hms": self.hms_head(coarsest, train=train).astype(jnp.float32),
+            }
+            dp = self.dp_head(coarsest, train=train).astype(jnp.float32)
+            aux["mask"] = dp[..., 0]
+            aux["dense"] = dp[..., 1:]
+            out = out._replace(aux=aux)
+        return out
 
 
 def build_model(cfg: Config, assets: Assets) -> HandNet:

@@ -16,6 +16,7 @@ from __future__ import annotations
 from typing import Any
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 _STAGES = {
@@ -121,6 +122,40 @@ class ResNet(nn.Module):
             feats.append(h)
         # coarsest-first: [C5, C4, C3, C2]
         return feats[::-1]
+
+
+class AuxDecoderHead(nn.Module):
+    """Coarse fmap -> dense prediction (heatmaps / mask / densepose).
+
+    Mirrors `ResNetSimple_decoder` (`models/encoder.py:16-59`): flat 1x1
+    conv then three (bilinear-2x-upsample + 3x3 conv + ReLU + BN) stages
+    (8 -> 64 px for a 256^2 input), then a 1x1 projection to `out_dim`.
+    Used for the 21x2-channel joint heatmaps and the 1+3x2-channel
+    mask+densepose heads (`models/encoder.py:176-242`). Off by default in
+    the flagship recipe, matching `core/Loss.py:210-211`.
+    """
+
+    out_dim: int
+    width: int = 256
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        def bn(name):
+            return nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                epsilon=1e-5, dtype=self.dtype, name=name)
+
+        h = nn.Conv(self.width, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="flat_conv")(x)
+        h = bn("flat_bn")(nn.relu(h))
+        for i in range(3):
+            b, hh, ww, c = h.shape
+            h = jax.image.resize(h, (b, hh * 2, ww * 2, c), "bilinear")
+            h = nn.Conv(self.width, (3, 3), padding=1, use_bias=False,
+                        dtype=self.dtype, name=f"up{i}_conv")(h)
+            h = bn(f"up{i}_bn")(nn.relu(h))
+        return nn.Conv(self.out_dim, (1, 1), dtype=self.dtype,
+                       name="final")(h)
 
 
 class ResNetMid(nn.Module):
