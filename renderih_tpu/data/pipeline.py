@@ -112,7 +112,7 @@ def device_augment(
 
     img = normalize_imagenet(img / 255.0)
 
-    return {
+    out = {
         "img": img,
         "v2d_left": out2d["left"]["v"], "j2d_left": out2d["left"]["j"],
         "v2d_right": out2d["right"]["v"], "j2d_right": out2d["right"]["j"],
@@ -120,6 +120,38 @@ def device_augment(
         "v3d_right": out3d["right"]["v"], "j3d_right": out3d["right"]["j"],
         "root_rel": root_rel,
     }
+
+    # MANO parameter labels for the `mano` decoder variant
+    # (`core/loader_mano.py:124-190`): in-plane rotation composes onto the
+    # root axis-angle; flip mirrors the pose (negate y/z per joint) and
+    # swaps hands.
+    if "pose_left" in batch:
+        theta_used = theta if train else jnp.zeros((b,))
+
+        def rotate_root(pose48):
+            root = pose48[:, :3]
+            # rot_aa (`core/loader_mano.py:24-35`): R(+theta) . R_root
+            rz = rotmat_z(theta_used)
+            from renderih_tpu.ops.rotation import rodrigues, rodrigues_inverse
+
+            new_root = rodrigues_inverse(
+                jnp.einsum("bij,bjk->bik", rz, rodrigues(root))
+            )
+            return jnp.concatenate([new_root, pose48[:, 3:]], -1)
+
+        def mirror(pose48):
+            p = pose48.reshape(b, 16, 3)
+            p = p * jnp.asarray([1.0, -1.0, -1.0])
+            return p.reshape(b, 48)
+
+        pose = {h: rotate_root(batch[f"pose_{h}"]) for h in ("left", "right")}
+        f1 = do_flip[:, None]
+        for h, other in (("left", "right"), ("right", "left")):
+            out[f"pose_{h}"] = jnp.where(f1, mirror(pose[other]), pose[h])
+            out[f"shape_{h}"] = jnp.where(
+                f1, batch[f"shape_{other}"], batch[f"shape_{h}"]
+            )
+    return out
 
 
 class HostSampler:

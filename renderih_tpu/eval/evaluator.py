@@ -56,10 +56,17 @@ def evaluate_packed(
         return two_hand_metrics(pred, gt, j_reg)
 
     n = len(dataset)
+    batch_size = min(batch_size, n)
     acc: dict = {}
     total_time = 0.0
     for start in range(0, n, batch_size):
+        # fixed-size batches (pad the tail by repeating the last sample)
+        # so the jitted step compiles exactly once
         idx = np.arange(start, min(start + batch_size, n))
+        valid = len(idx)
+        if valid < batch_size:
+            idx = np.concatenate(
+                [idx, np.full(batch_size - valid, idx[-1])])
         b = dataset.batch(idx)
         t0 = time.perf_counter()
         m = step(
@@ -69,13 +76,17 @@ def evaluate_packed(
             0.0,
         )
         m = jax.device_get(m)
-        total_time += time.perf_counter() - t0
+        if start > 0:  # exclude the compile batch from throughput
+            total_time += time.perf_counter() - t0
         for k, v in m.items():
-            acc.setdefault(k, []).append(np.asarray(v))
+            acc.setdefault(k, []).append(np.asarray(v)[:valid])
 
     vectors = {k: np.concatenate(v) for k, v in acc.items()}
     summary = summarize(vectors, iou)
-    summary["images_per_sec"] = n / total_time if total_time > 0 else 0.0
+    timed_images = max(n - batch_size, 0)  # first batch = compile, untimed
+    summary["images_per_sec"] = (
+        timed_images / total_time if total_time > 0 else 0.0
+    )
     summary["num_samples"] = n
     return summary
 

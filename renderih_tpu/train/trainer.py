@@ -105,6 +105,19 @@ def make_train_step(
                 out, batch, assets, epoch, weights,
                 upsample_weight=up_w, img_size=cfg.model.img_size,
             )
+            # MANO-parameter supervision for the `mano` decoder variant
+            # (reference `mano_loss_GCN`, `core/Loss_mano.py:245-335`).
+            if cfg.model.decoder == "mano" and "pose_left" in batch:
+                from renderih_tpu.losses.mano_loss import mano_param_losses
+
+                mt = mano_param_losses(out, batch)
+                total = total + (
+                    cfg.loss.mano_pose * mt["pose"]
+                    + cfg.loss.mano_shape * mt["shape"]
+                    + mt["shape_reg"]
+                )
+                terms = {**terms, **{f"mano_{k}": v for k, v in mt.items()},
+                         "total": total}
             return total, (terms, mutated["batch_stats"])
 
         (_, (terms, new_bs)), grads = jax.value_and_grad(

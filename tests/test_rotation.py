@@ -55,10 +55,21 @@ def test_rot6d_orthonormal():
 
 
 def test_rot6d_identity_recovery():
-    # 6D rep of identity: first two columns of I.
-    x = jnp.asarray([[1.0, 0, 0, 0, 1.0, 0]])
+    # 6D rep of identity under the reference layout (reshape(3, 2) with
+    # a1 = column 0, a2 = column 1): rows are (r_i1, r_i2) pairs.
+    x = jnp.asarray([[1.0, 0.0, 0.0, 1.0, 0.0, 0.0]])
     R = np.asarray(rot6d_to_rotmat(x))[0]
     np.testing.assert_allclose(R, np.eye(3), atol=1e-6)
+
+
+def test_rot6d_roundtrip_from_rotmat():
+    """Columns of a rotation matrix, interleaved, recover the matrix."""
+    rng = np.random.default_rng(9)
+    axes = rng.normal(size=(4, 3)).astype(np.float32)
+    R = np.asarray(rodrigues(jnp.asarray(axes)))
+    six = np.stack([R[..., 0], R[..., 1]], axis=-1).reshape(4, 6)
+    back = np.asarray(rot6d_to_rotmat(jnp.asarray(six)))
+    np.testing.assert_allclose(back, R, atol=1e-5)
 
 
 def test_rotmat_z_matches_reference_convention():
