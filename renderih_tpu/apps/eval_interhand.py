@@ -47,7 +47,7 @@ def main(argv=None):
 
     if args.synthetic or not args.data:
         dataset = make_synthetic_packed("/tmp/renderih_eval", args.split,
-                                        assets, n=64)
+                                        assets, n=256)
     else:
         dataset = PackedInterHand.load(args.data, args.split)
 

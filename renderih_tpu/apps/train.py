@@ -53,7 +53,16 @@ def main(argv=None):
     parser.add_argument("--resume", type=str, default=None)
     parser.add_argument("--steps", type=int, default=None,
                         help="hard cap on total steps (smoke runs)")
+    parser.add_argument("--multihost", action="store_true",
+                        help="initialize jax.distributed (TPU pod slices)")
     args = parser.parse_args(argv)
+
+    if args.multihost:
+        # Multi-host SPMD: one process per host, all devices in one mesh.
+        # Coordinator/host-count discovery comes from the TPU environment
+        # (replaces the reference's MASTER_ADDR/MASTER_PORT rendezvous,
+        # `core/lijun_trainer.py:76-80`).
+        jax.distributed.initialize()
 
     logging.basicConfig(level=logging.INFO,
                         format="%(asctime)s %(name)s %(message)s")
