@@ -30,6 +30,8 @@ def main():
     from renderih_tpu.models import init_model, model_call_kwargs
 
     cfg = Config()  # flagship: resnet50, bf16 compute
+    if os.environ.get("BENCH_DECODER_BF16"):  # A/B: bf16 decoder trunk
+        cfg.model.decoder_f32 = False
     assets = make_synthetic_assets(seed=0)
     model, variables = init_model(cfg, assets, jax.random.PRNGKey(0))
     call_kwargs = model_call_kwargs(cfg, assets)

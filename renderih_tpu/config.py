@@ -45,6 +45,12 @@ class ModelConfig:
     # Auxiliary heatmap/mask/densepose heads (off in the flagship recipe,
     # matching `core/Loss.py:210-211`).
     with_aux_heads: bool = False
+    # Keep the dual-graph decoder in float32 even under the bf16 precision
+    # policy. The decoder is a small fraction of the FLOPs (encoder convs
+    # dominate) and regresses metric coordinates with sub-mm targets;
+    # set False to run the decoder trunk in bf16 too (the coord/camera
+    # heads always stay f32).
+    decoder_f32: bool = True
 
 
 @dataclass

@@ -18,6 +18,8 @@ Pallas path for the concatenated token stream lives in
 
 from __future__ import annotations
 
+from typing import Any
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
@@ -30,14 +32,15 @@ class MlpResBlock(nn.Module):
 
     hid_dim: int
     dropout: float = 0.1
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         dim = x.shape[-1]
-        h = nn.LayerNorm(epsilon=_LN_EPS)(x)
-        h = nn.relu(nn.Dense(self.hid_dim)(h))
+        h = nn.LayerNorm(epsilon=_LN_EPS, dtype=self.dtype)(x)
+        h = nn.relu(nn.Dense(self.hid_dim, dtype=self.dtype)(h))
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
-        h = nn.Dense(dim)(h)
+        h = nn.Dense(dim, dtype=self.dtype)(h)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         return x + h
 
@@ -82,22 +85,22 @@ class SelfAttn(nn.Module):
     n_heads: int = 4
     hid_dim: int | None = None
     dropout: float = 0.1
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         d_head = self.f_dim // self.n_heads
-        h = nn.LayerNorm(epsilon=_LN_EPS)(x)
-        q = nn.Dense(self.n_heads * d_head, name="w_qs")(h)
-        k = nn.Dense(self.n_heads * d_head, name="w_ks")(h)
-        v = nn.Dense(self.n_heads * d_head, name="w_vs")(h)
+        h = nn.LayerNorm(epsilon=_LN_EPS, dtype=self.dtype)(x)
+        q = nn.Dense(self.n_heads * d_head, dtype=self.dtype, name="w_qs")(h)
+        k = nn.Dense(self.n_heads * d_head, dtype=self.dtype, name="w_ks")(h)
+        v = nn.Dense(self.n_heads * d_head, dtype=self.dtype, name="w_vs")(h)
         attn_drop = nn.Dropout(self.dropout)
         out = _mha(q, k, v, self.n_heads, attn_drop, deterministic)
-        out = nn.Dense(self.f_dim, name="fc")(out)
+        out = nn.Dense(self.f_dim, dtype=self.dtype, name="fc")(out)
         out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
         x = x + out
-        return MlpResBlock(self.hid_dim or self.f_dim, self.dropout, name="ff")(
-            x, deterministic
-        )
+        return MlpResBlock(self.hid_dim or self.f_dim, self.dropout,
+                           self.dtype, name="ff")(x, deterministic)
 
 
 class InterAttn(nn.Module):
@@ -113,26 +116,27 @@ class InterAttn(nn.Module):
     f_dim: int
     n_heads: int = 4
     dropout: float = 0.1
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, lf, rf, deterministic: bool = True):
         lf = SelfAttn(self.f_dim, self.n_heads, self.f_dim, self.dropout,
-                      name="L_self_attn")(lf, deterministic)
+                      self.dtype, name="L_self_attn")(lf, deterministic)
         rf = SelfAttn(self.f_dim, self.n_heads, self.f_dim, self.dropout,
-                      name="R_self_attn")(rf, deterministic)
+                      self.dtype, name="R_self_attn")(rf, deterministic)
 
         d_head = self.f_dim // self.n_heads
-        w_qs = nn.Dense(self.n_heads * d_head, name="w_qs")
-        w_ks = nn.Dense(self.n_heads * d_head, name="w_ks")
-        w_vs = nn.Dense(self.n_heads * d_head, name="w_vs")
-        fc = nn.Dense(self.f_dim, name="fc")
+        w_qs = nn.Dense(self.n_heads * d_head, dtype=self.dtype, name="w_qs")
+        w_ks = nn.Dense(self.n_heads * d_head, dtype=self.dtype, name="w_ks")
+        w_vs = nn.Dense(self.n_heads * d_head, dtype=self.dtype, name="w_vs")
+        fc = nn.Dense(self.f_dim, dtype=self.dtype, name="fc")
         attn_drop = nn.Dropout(self.dropout)
         out_drop = nn.Dropout(self.dropout)
 
         # Both norms see the same sum; two LayerNorms kept for reference
         # checkpoint-layout parity (`inter_attn_lijun.py:79-80`).
-        lf2 = nn.LayerNorm(epsilon=_LN_EPS, name="norm1")(lf + rf)
-        rf2 = nn.LayerNorm(epsilon=_LN_EPS, name="norm2")(rf + lf)
+        lf2 = nn.LayerNorm(epsilon=_LN_EPS, dtype=self.dtype, name="norm1")(lf + rf)
+        rf2 = nn.LayerNorm(epsilon=_LN_EPS, dtype=self.dtype, name="norm2")(rf + lf)
 
         # attn_R2L: queries/keys from the left stream, values from right.
         feat_r2l = _mha(w_qs(lf2), w_ks(lf2), w_vs(rf2), self.n_heads,
@@ -143,10 +147,10 @@ class InterAttn(nn.Module):
         feat_r2l = out_drop(fc(feat_r2l), deterministic=deterministic)
         feat_l2r = out_drop(fc(feat_l2r), deterministic=deterministic)
 
-        lf = MlpResBlock(self.f_dim, self.dropout, name="ffL")(
+        lf = MlpResBlock(self.f_dim, self.dropout, self.dtype, name="ffL")(
             lf + feat_r2l, deterministic
         )
-        rf = MlpResBlock(self.f_dim, self.dropout, name="ffR")(
+        rf = MlpResBlock(self.f_dim, self.dropout, self.dtype, name="ffR")(
             rf + feat_l2r, deterministic
         )
         return lf, rf
@@ -160,13 +164,14 @@ class ImgFeatToGrid(nn.Module):
     grid_f_dim: int
     n_heads: int = 4
     dropout: float = 0.01
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, img, deterministic: bool = True):
         patch = self.img_size // self.grid_size
         x = nn.Conv(
             self.grid_f_dim, (patch, patch), strides=(patch, patch),
-            padding="VALID", name="proj",
+            padding="VALID", dtype=self.dtype, name="proj",
         )(img)
         x = nn.relu(x)
         b = x.shape[0]
@@ -176,9 +181,10 @@ class ImgFeatToGrid(nn.Module):
             nn.initializers.normal(stddev=0.02),
             (self.grid_size * self.grid_size, self.grid_f_dim),
         )
-        x = x + pos
+        x = x + pos.astype(x.dtype)
         return SelfAttn(self.grid_f_dim, self.n_heads, self.grid_f_dim,
-                        self.dropout, name="self_attn")(x, deterministic)
+                        self.dropout, self.dtype, name="self_attn")(
+                            x, deterministic)
 
 
 class ImgEx(nn.Module):
@@ -195,16 +201,18 @@ class ImgEx(nn.Module):
     verts_f_dim: int
     n_heads: int = 4
     dropout: float = 0.01
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, img, verts_f, deterministic: bool = True):
         grid = ImgFeatToGrid(
             self.img_size, self.grid_size, self.grid_f_dim,
-            self.n_heads, self.dropout, name="encoder",
+            self.n_heads, self.dropout, self.dtype, name="encoder",
         )(img, deterministic)
-        grid = nn.Dense(self.verts_f_dim, name="grid_to_verts")(grid)
+        grid = nn.Dense(self.verts_f_dim, dtype=self.dtype,
+                        name="grid_to_verts")(grid)
         n_verts = verts_f.shape[1]
-        x = jnp.concatenate([verts_f, grid], axis=1)
+        x = jnp.concatenate([verts_f.astype(grid.dtype), grid], axis=1)
         x = SelfAttn(self.verts_f_dim, self.n_heads, self.verts_f_dim,
-                     self.dropout, name="attn")(x, deterministic)
+                     self.dropout, self.dtype, name="attn")(x, deterministic)
         return x[:, :n_verts]

@@ -86,25 +86,37 @@ class GraphDecoder(nn.Module):
         laps_left: tuple | None = None,
         laps_right: tuple | None = None,
         deterministic: bool = True,
+        bbox_info: jax.Array | None = None,  # (B, 3) CLIFF conditioning
     ) -> DecoderOutput:
         bs = global_feature.shape[0]
+        if bbox_info is not None:
+            # CLIFF-style conditioning (`common/myhand/bbox_decoder.py`):
+            # normalized crop center/scale appended to the global feature
+            # so the camera heads can undo the crop-induced perspective.
+            global_feature = jnp.concatenate(
+                [global_feature, bbox_info.astype(global_feature.dtype)], -1
+            )
         v_in = self.verts_nums[0]
         v_out = self.verts_nums[-1]
 
         def gf_layer(name):
             def run(x):
-                h = nn.Dense(self.gcn_in_dims[0] - 3, name=f"{name}_fc")(x)
-                return nn.LayerNorm(epsilon=1e-6, name=f"{name}_ln")(h)
+                h = nn.Dense(self.gcn_in_dims[0] - 3, dtype=self.dtype,
+                             name=f"{name}_fc")(x)
+                return nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+                                    name=f"{name}_ln")(h)
             return run
 
         lf = gf_layer("gf_layer_left")(global_feature)
         rf = gf_layer("gf_layer_right")(global_feature)
         lf = jnp.concatenate(
             [jnp.broadcast_to(lf[:, None], (bs, v_in, lf.shape[-1])),
-             jnp.broadcast_to(pe_left[None], (bs, v_in, 3))], axis=-1)
+             jnp.broadcast_to(pe_left[None].astype(lf.dtype), (bs, v_in, 3))],
+            axis=-1)
         rf = jnp.concatenate(
             [jnp.broadcast_to(rf[:, None], (bs, v_in, rf.shape[-1])),
-             jnp.broadcast_to(pe_right[None], (bs, v_in, 3))], axis=-1)
+             jnp.broadcast_to(pe_right[None].astype(rf.dtype), (bs, v_in, 3))],
+            axis=-1)
 
         lf, rf, stage_outs = DualGraph(
             verts_nums=self.verts_nums,
@@ -118,9 +130,14 @@ class GraphDecoder(nn.Module):
             n_heads=self.n_heads,
             dropout=self.dropout,
             use_cheby=self.use_cheby,
+            dtype=self.dtype,
             name="dual_gcn",
         )(lf, rf, fmaps[: len(self.verts_nums)], laps_left, laps_right,
           deterministic)
+        # Heads run in f32 regardless of the trunk dtype: coordinates are
+        # metric quantities (sub-mm targets) and the heads are tiny.
+        lf = lf.astype(jnp.float32)
+        rf = rf.astype(jnp.float32)
 
         # Camera heads, shared across hands (`decoder_lijun_graph.py:221-223`).
         avg_head = nn.Dense(1, name="avg_head")

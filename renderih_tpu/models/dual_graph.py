@@ -17,6 +17,8 @@ Two block flavours (selected by `use_cheby`):
 
 from __future__ import annotations
 
+from typing import Any
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
@@ -35,6 +37,7 @@ class GcnResBlock(nn.Module):
     graph_k: int = 2
     dropout: float = 0.01
     use_cheby: bool = False
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, laplacian=None, deterministic: bool = True):
@@ -52,18 +55,26 @@ class GcnResBlock(nn.Module):
             b2 = self.param("cheby2_bias", nn.initializers.zeros, (self.out_dim,))
             # Reference quirk: norm1 output is computed then dropped; the
             # first conv sees raw x (`gcn.py:103-104`).
-            _ = nn.LayerNorm(epsilon=_LN_EPS, name="norm1")(x)
-            h = cheby_conv(x, laplacian, w1, b1, k=self.graph_k)
-            h = nn.relu(nn.LayerNorm(epsilon=_LN_EPS, name="norm2")(h))
-            h = cheby_conv(h, laplacian, w2, b2, k=self.graph_k)
+            _ = nn.LayerNorm(epsilon=_LN_EPS, dtype=self.dtype, name="norm1")(x)
+            h = cheby_conv(x, laplacian.astype(x.dtype),
+                           w1.astype(x.dtype), b1.astype(x.dtype),
+                           k=self.graph_k)
+            h = nn.relu(nn.LayerNorm(epsilon=_LN_EPS, dtype=self.dtype,
+                                     name="norm2")(h))
+            h = cheby_conv(h, laplacian.astype(h.dtype),
+                           w2.astype(h.dtype), b2.astype(h.dtype),
+                           k=self.graph_k)
         else:
-            h = nn.relu(nn.LayerNorm(epsilon=_LN_EPS, name="norm1")(x))
-            h = nn.Dense(self.out_dim, name="fc1")(h)
-            h = nn.relu(nn.LayerNorm(epsilon=_LN_EPS, name="norm2")(h))
-            h = nn.Dense(self.out_dim, name="fc2")(h)
+            h = nn.relu(nn.LayerNorm(epsilon=_LN_EPS, dtype=self.dtype,
+                                     name="norm1")(x))
+            h = nn.Dense(self.out_dim, dtype=self.dtype, name="fc1")(h)
+            h = nn.relu(nn.LayerNorm(epsilon=_LN_EPS, dtype=self.dtype,
+                                     name="norm2")(h))
+            h = nn.Dense(self.out_dim, dtype=self.dtype, name="fc2")(h)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
-        shortcut = nn.Dense(self.out_dim, name="shortcut")(x)
-        return nn.LayerNorm(epsilon=_LN_EPS, name="norm3")(h + shortcut)
+        shortcut = nn.Dense(self.out_dim, dtype=self.dtype, name="shortcut")(x)
+        return nn.LayerNorm(epsilon=_LN_EPS, dtype=self.dtype,
+                            name="norm3")(h + shortcut)
 
 
 class GraphLayer(nn.Module):
@@ -75,6 +86,7 @@ class GraphLayer(nn.Module):
     num_blocks: int = 4
     dropout: float = 0.01
     use_cheby: bool = False
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, laplacian=None, deterministic: bool = True):
@@ -82,7 +94,7 @@ class GraphLayer(nn.Module):
             in_dim = self.in_dim if i == 0 else self.out_dim
             x = GcnResBlock(
                 in_dim, self.out_dim, self.graph_k, self.dropout,
-                self.use_cheby, name=f"block_{i}",
+                self.use_cheby, self.dtype, name=f"block_{i}",
             )(x, laplacian, deterministic)
             if i != self.num_blocks - 1:
                 x = nn.relu(x)
@@ -103,6 +115,7 @@ class DualGraphLayer(nn.Module):
     n_heads: int = 4
     dropout: float = 0.01
     use_cheby: bool = False
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, lf, rf, img_f, lap_left=None, lap_right=None,
@@ -113,27 +126,29 @@ class DualGraphLayer(nn.Module):
             nn.initializers.normal(stddev=0.02),
             (self.verts_num, self.verts_in_dim),
         )
-        lf = lf + pos
-        rf = rf + pos
+        lf = (lf + pos).astype(self.dtype)
+        rf = (rf + pos).astype(self.dtype)
 
         lf = GraphLayer(
             self.verts_in_dim, self.verts_out_dim, self.graph_k,
-            self.num_blocks, self.dropout, self.use_cheby, name="graph_left",
+            self.num_blocks, self.dropout, self.use_cheby, self.dtype,
+            name="graph_left",
         )(lf, lap_left, deterministic)
         rf = GraphLayer(
             self.verts_in_dim, self.verts_out_dim, self.graph_k,
-            self.num_blocks, self.dropout, self.use_cheby, name="graph_right",
+            self.num_blocks, self.dropout, self.use_cheby, self.dtype,
+            name="graph_right",
         )(rf, lap_right, deterministic)
 
         lf = ImgEx(self.img_size, self.grid_size, self.grid_f_dim,
-                   self.verts_out_dim, self.n_heads, self.dropout,
+                   self.verts_out_dim, self.n_heads, self.dropout, self.dtype,
                    name="img_ex_left")(img_f, lf, deterministic)
         rf = ImgEx(self.img_size, self.grid_size, self.grid_f_dim,
-                   self.verts_out_dim, self.n_heads, self.dropout,
+                   self.verts_out_dim, self.n_heads, self.dropout, self.dtype,
                    name="img_ex_right")(img_f, rf, deterministic)
 
         return InterAttn(self.verts_out_dim, self.n_heads, self.dropout,
-                         name="inter_attn")(lf, rf, deterministic)
+                         self.dtype, name="inter_attn")(lf, rf, deterministic)
 
 
 class DualGraph(nn.Module):
@@ -150,6 +165,7 @@ class DualGraph(nn.Module):
     n_heads: int = 4
     dropout: float = 0.01
     use_cheby: bool = False
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, lf, rf, img_f_list, laps_left=None, laps_right=None,
@@ -164,7 +180,7 @@ class DualGraph(nn.Module):
                 self.verts_nums[i], self.verts_in_dims[i], self.verts_out_dims[i],
                 self.graph_k, self.num_blocks, self.img_sizes[i],
                 self.grid_size, self.grid_f_dims[i], self.n_heads,
-                self.dropout, self.use_cheby, name=f"layer_{i}",
+                self.dropout, self.use_cheby, self.dtype, name=f"layer_{i}",
             )(lf, rf, img_f_list[i], lap_l, lap_r, deterministic)
             outs.append((lf, rf))
             if i != n - 1:

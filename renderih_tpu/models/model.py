@@ -67,7 +67,15 @@ class HandNet(nn.Module):
             use_cheby=m.use_cheby,
             img_size=m.img_size,
             with_mano_head=(m.decoder == "mano"),
+            dtype=jnp.float32 if m.decoder_f32 else self.dtype,
         )
+
+    def encode(self, img: jax.Array, train: bool = False):
+        """Encoder + mid only: (global_feature, fmaps). Feature-extraction
+        API; also used to profile the encoder/decoder time split."""
+        img = img.astype(self.dtype)
+        pyramid = self.encoder(img, train=train)
+        return self.mid(pyramid, train=train)
 
     def __call__(
         self,
@@ -78,6 +86,7 @@ class HandNet(nn.Module):
         laps_left: tuple | None = None,
         laps_right: tuple | None = None,
         train: bool = False,
+        bbox_info: jax.Array | None = None,
     ) -> DecoderOutput:
         img = img.astype(self.dtype)
         pyramid = self.encoder(img, train=train)
@@ -88,6 +97,7 @@ class HandNet(nn.Module):
         out = self.decoder(
             global_feature, fmaps, pe_left, pe_right, upsample_init,
             laps_left, laps_right, deterministic=not train,
+            bbox_info=bbox_info,
         )
         if self.cfg.model.with_aux_heads:
             coarsest = pyramid[0]
