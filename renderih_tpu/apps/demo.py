@@ -89,6 +89,29 @@ class InterRender:
         out = self.renderer.overlay(bg, rgb, mask, alpha)
         return np.asarray(jnp.clip(out[0] * 255.0, 0, 255)).astype(np.uint8)
 
+    def render_other_view(self, params: dict, theta: float = 60.0) -> np.ndarray:
+        """Rotated novel view of the predicted meshes on white
+        (reference `core/test_utils.py:101-128`): center both hands on the
+        midpoint of their mean vertices, rotate about the y axis by
+        `theta` degrees, render with a fixed scale-3 orthographic camera.
+        """
+        vl, vr = params["verts_left"], params["verts_right"]
+        c = 0.5 * (jnp.mean(vl, axis=1) + jnp.mean(vr, axis=1))[:, None]
+        t = 3.14159 / 180.0 * theta
+        rot = jnp.asarray(
+            [[np.cos(t), 0.0, np.sin(t)],
+             [0.0, 1.0, 0.0],
+             [-np.sin(t), 0.0, np.cos(t)]], jnp.float32)
+        vl = (vl - c) @ rot
+        vr = (vr - c) @ rot
+        b = vl.shape[0]
+        scale = {h: jnp.full((b,), 3.0) for h in ("left", "right")}
+        trans2d = {h: jnp.zeros((b, 2)) for h in ("left", "right")}
+        rgb, mask = self.renderer.render_rgb_orth(scale, trans2d, vl, vr)
+        white = jnp.ones_like(rgb)
+        out = rgb * mask[..., None] + white * (1.0 - mask[..., None])
+        return np.asarray(jnp.clip(out[0] * 255.0, 0, 255)).astype(np.uint8)
+
 
 class ConstantAccelSmoother:
     """Per-parameter constant-acceleration smoothing (`apps/demo.py:103-128`)."""
@@ -117,6 +140,8 @@ def main(argv=None):
     p.add_argument("--img_path", type=str, default="demo_in")
     p.add_argument("--save_path", type=str, default="demo_out")
     p.add_argument("--live_demo", action="store_true")
+    p.add_argument("--other_view", type=float, default=None,
+                   help="also save a novel view rotated by this many degrees")
     args = p.parse_args(argv)
 
     import cv2 as cv
@@ -164,6 +189,11 @@ def main(argv=None):
         out_path = os.path.join(args.save_path, os.path.basename(path))
         cv.imwrite(out_path, cv.cvtColor(out, cv.COLOR_RGB2BGR))
         print(f"{path} -> {out_path}")
+        if args.other_view is not None:
+            rotated = runner.render_other_view(params, theta=args.other_view)
+            base, ext = os.path.splitext(out_path)
+            cv.imwrite(base + "_rot" + ext,
+                       cv.cvtColor(rotated, cv.COLOR_RGB2BGR))
 
 
 if __name__ == "__main__":
