@@ -28,10 +28,17 @@ def main():
     from renderih_tpu.assets import make_synthetic_assets
     from renderih_tpu.config import Config
     from renderih_tpu.models import init_model, model_call_kwargs
+    from renderih_tpu.models.attention import set_fused_attention
 
     cfg = Config()  # flagship: resnet50, bf16 compute
     if os.environ.get("BENCH_DECODER_BF16"):  # A/B: bf16 decoder trunk
         cfg.model.decoder_f32 = False
+    # Pallas fused attention: 1.44x over XLA on the isolated attention
+    # shapes (tools/bench_attention.py) but SLOWER end-to-end (3755 vs
+    # 5054 img/s at bs 256 — it blocks XLA fusion around the attention).
+    # Opt-in only.
+    if os.environ.get("BENCH_FUSED"):
+        set_fused_attention(True)
     assets = make_synthetic_assets(seed=0)
     model, variables = init_model(cfg, assets, jax.random.PRNGKey(0))
     call_kwargs = model_call_kwargs(cfg, assets)

@@ -34,7 +34,15 @@ def main(argv=None):
     p.add_argument("--bs", type=int, default=512)
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--json", action="store_true")
+    p.add_argument("--fused_attn", action="store_true",
+                   help="route attention through the Pallas kernel "
+                        "(faster in isolation, slower end-to-end; A/B knob)")
     args = p.parse_args(argv)
+
+    if args.fused_attn and jax.default_backend() != "cpu":
+        from renderih_tpu.models.attention import set_fused_attention
+
+        set_fused_attention(True)
 
     cfg = load_config(args.cfg)
     assets = load_assets(cfg.assets)

@@ -27,7 +27,9 @@ def _mha_kernel(q_ref, k_ref, v_ref, o_ref):
     q = q_ref[0]  # (N, D)
     k = k_ref[0]  # (M, D)
     v = v_ref[0]  # (M, D)
-    scale = 1.0 / jnp.sqrt(jnp.asarray(q.shape[-1], q.dtype))
+    # Static head dim -> Python-constant scale (Mosaic cannot legalize
+    # math.sqrt on bf16 operands).
+    scale = jnp.asarray(1.0 / (q.shape[-1] ** 0.5), q.dtype)
     logits = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
     m = jnp.max(logits, axis=-1, keepdims=True)
     e = jnp.exp(logits - m)
