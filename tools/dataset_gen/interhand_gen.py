@@ -85,6 +85,11 @@ def main():
     p.add_argument("--mano-right", required=True)
     p.add_argument("--out", required=True)
     p.add_argument("--limit", type=int, default=None)
+    p.add_argument("--hand_type", default="interacting",
+                   choices=["interacting", "right", "left", "all"],
+                   help="which frames to pack; 'right'/'left' packs "
+                        "single-hand frames with the absent hand zeroed "
+                        "(reference `utils/interhand_single.py`)")
     args = p.parse_args()
 
     import cv2 as cv
@@ -111,19 +116,21 @@ def main():
     images_by_id = {im["id"]: im for im in data["images"]}
     selected = []
     for ann in data["annotations"]:
-        if ann.get("hand_type") != "interacting":
+        ht = ann.get("hand_type")
+        if args.hand_type != "all" and ht != args.hand_type:
             continue
+        hands_needed = ("left", "right") if ht == "interacting" else (ht,)
         im = images_by_id[ann["image_id"]]
         cap = str(im["capture"])
         frame = str(im["frame_idx"])
         mp = mano_params.get(cap, {}).get(frame)
-        if not mp or mp.get("left") is None or mp.get("right") is None:
+        if not mp or any(mp.get(h) is None for h in hands_needed):
             continue
-        selected.append((ann, im))
+        selected.append((ann, im, hands_needed))
         if args.limit and len(selected) >= args.limit:
             break
     n = len(selected)
-    print(f"{n} interacting frames with both-hand MANO")
+    print(f"{n} '{args.hand_type}' frames with MANO")
 
     os.makedirs(args.out, exist_ok=True)
     images = np.memmap(
@@ -133,7 +140,7 @@ def main():
     labels = {k: np.zeros((n,) + _label_shape(k), np.float32)
               for k in LABEL_KEYS}
 
-    for i, (ann, im) in enumerate(selected):
+    for i, (ann, im, hands) in enumerate(selected):
         cap = str(im["capture"])
         frame = str(im["frame_idx"])
         cam = str(im["camera"])
@@ -149,7 +156,7 @@ def main():
 
         per_hand = {}
         all2d = []
-        for hand in ("left", "right"):
+        for hand in hands:
             mp = mano_params[cap][frame][hand]
             pose = np.asarray(mp["pose"], np.float64)
             shape = np.asarray(mp["shape"], np.float64)
@@ -165,7 +172,7 @@ def main():
         M = cut_img_matrix(all2d)
         crop = cv.warpAffine(rgb, M, dsize=(IMG_SIZE, IMG_SIZE))
         images[i] = crop
-        for hand in ("left", "right"):
+        for hand in hands:  # absent hand stays zero-filled
             v_c, j_c, v2d, j2d, pose, shape = per_hand[hand]
             hom = lambda x: np.concatenate(
                 [x, np.ones_like(x[:, :1])], -1) @ M.T
