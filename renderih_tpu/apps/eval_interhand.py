@@ -37,6 +37,9 @@ def main(argv=None):
     p.add_argument("--fused_attn", action="store_true",
                    help="route attention through the Pallas kernel "
                         "(faster in isolation, slower end-to-end; A/B knob)")
+    p.add_argument("--mesh_data", type=int, default=0,
+                   help="shard inference data-parallel over N devices "
+                        "(0 = single device)")
     args = p.parse_args(argv)
 
     if args.fused_attn and jax.default_backend() != "cpu":
@@ -59,9 +62,16 @@ def main(argv=None):
     else:
         dataset = PackedInterHand.load(args.data, args.split)
 
+    mesh = None
+    if args.mesh_data:
+        from renderih_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(data=args.mesh_data, model=1,
+                         devices=jax.devices()[: args.mesh_data])
+
     iou = np.load(args.iou, allow_pickle=True) if args.iou else None
     summary = evaluate_packed(cfg, model, variables, assets, dataset,
-                              batch_size=args.bs, iou=iou)
+                              batch_size=args.bs, iou=iou, mesh=mesh)
     if args.json:
         print(json.dumps({k: float(v) for k, v in summary.items()}))
     else:

@@ -35,11 +35,15 @@ def evaluate_packed(
     dataset: PackedInterHand,
     batch_size: int = 512,
     iou: np.ndarray | None = None,
+    mesh=None,
 ) -> dict:
+    """Evaluate `dataset`. With `mesh`, inference is sharded data-parallel
+    over the mesh's 'data' axis (variables replicated, batch split — the
+    serving-scale counterpart of the trainer's batch sharding); the metric
+    math is unchanged."""
     call_kwargs = model_call_kwargs(cfg, assets)
     j_reg = {"left": assets.left.j_reg_21, "right": assets.right.j_reg_21}
 
-    @jax.jit
     def step(img_u8, v3d_left, v3d_right, root_rel_dummy):
         batch = {"img_u8": img_u8}
         # eval preprocessing: just normalize (no aug), reference
@@ -57,6 +61,18 @@ def evaluate_packed(
 
     n = len(dataset)
     batch_size = min(batch_size, n)
+    if mesh is not None:
+        from renderih_tpu.parallel.mesh import batch_sharding, replicated_sharding
+
+        n_data = mesh.shape["data"]
+        batch_size -= batch_size % n_data  # divisible global batch
+        assert batch_size > 0, f"batch_size < data-axis size {n_data}"
+        data_sh = batch_sharding(mesh)
+        variables = jax.device_put(variables, replicated_sharding(mesh))
+        step = jax.jit(
+            step, in_shardings=(data_sh, data_sh, data_sh, None))
+    else:
+        step = jax.jit(step)
     acc: dict = {}
     total_time = 0.0
     for start in range(0, n, batch_size):

@@ -66,6 +66,9 @@ def _raster_rows(
         wb[:, None] * fa[:, 0] + ub[:, None] * fa[:, 1] + vb[:, None] * fa[:, 2]
     )
     zbuf = jnp.take_along_axis(zi, idx[:, None], 1)[:, 0]
+    # zero attributes on miss: barycentric extrapolation of the argmin face
+    # would otherwise leave unbounded garbage in background pixels
+    attr = jnp.where(hit[:, None], attr, 0.0)
     r = ys.shape[0]
     return (
         attr.reshape(r, width, -1),

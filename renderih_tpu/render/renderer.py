@@ -56,10 +56,23 @@ class TwoHandRenderer:
     def _merge(self, verts_left, verts_right):
         return jnp.concatenate([verts_left, verts_right], axis=1)  # (B, 2V, 3)
 
-    def render_rgb_orth(self, scale, trans2d, verts_left, verts_right):
+    def render_rgb_orth(self, scale, trans2d, verts_left, verts_right,
+                        albedo=None, light_dir=None, light_color=None,
+                        ambient=None, specular=0.0, shininess=16.0):
         """Hard-shaded RGB from predicted per-hand cameras.
 
         scale/trans2d: {'left','right'} of (B,) / (B, 2).
+
+        Optional Phong lighting (used by the synthetic-data generator to
+        randomize appearance, standing in for the reference Blender
+        pipeline's random materials/lighting,
+        `rendering_code/step4_load_mano_diffbg.py`):
+          albedo      (B, 2V, 3) or None -> fixed left/right base colors
+          light_dir   (B, 3) unit vector toward the light, or None -> +z
+          light_color (B, 3) diffuse intensity, default 1
+          ambient     (B, 3) ambient intensity, default 0
+          specular    scalar Blinn-Phong specular weight (camera at +z)
+
         Returns (rgb (B,H,W,3), mask (B,H,W)).
         """
         v2d_l = orthographic_project(scale["left"], trans2d["left"],
@@ -70,10 +83,34 @@ class TwoHandRenderer:
         verts = self._merge(verts_left, verts_right)
         z = verts[..., 2]
 
-        def one(v2d_i, z_i, verts_i):
+        B = verts.shape[0]
+        if albedo is None:
+            albedo = jnp.broadcast_to(self.base_colors, (B,) + self.base_colors.shape)
+        if light_dir is None:
+            # default: headlight along the camera axis, Lambert clipped to
+            # [0.2, 1] (the original fixed-shading look)
+            light_dir = jnp.broadcast_to(jnp.array([0.0, 0.0, -1.0]), (B, 3))
+            default_light = True
+        else:
+            default_light = False
+        if light_color is None:
+            light_color = jnp.ones((B, 3))
+        if ambient is None:
+            ambient = jnp.zeros((B, 3))
+
+        def one(v2d_i, z_i, verts_i, alb_i, ld_i, lc_i, amb_i):
             normals = _vertex_normals(verts_i, self.faces)
-            lambert = jnp.clip(-normals[:, 2], 0.2, 1.0)  # light along +z
-            colors = self.base_colors * lambert[:, None]
+            lambert = jnp.maximum(normals @ ld_i, 0.0)  # (2V,)
+            if default_light:
+                lambert = jnp.clip(lambert, 0.2, 1.0)
+            colors = alb_i * (amb_i[None] + lc_i[None] * lambert[:, None])
+            if specular:
+                # Blinn-Phong: camera along -z, half vector of (light, view)
+                h = ld_i + jnp.array([0.0, 0.0, -1.0])
+                h = h / (jnp.linalg.norm(h) + 1e-9)
+                spec = jnp.maximum(normals @ h, 0.0) ** shininess
+                colors = colors + specular * lc_i[None] * spec[:, None]
+            colors = jnp.clip(colors, 0.0, 1.0)
             attrs = jnp.concatenate([colors, jnp.ones((colors.shape[0], 1))], -1)
             attr, mask, _ = rasterize_orthographic(
                 v2d_i, z_i, attrs, self.faces,
@@ -81,7 +118,8 @@ class TwoHandRenderer:
             )
             return attr[..., :3], mask
 
-        return jax.vmap(one)(v2d, z, verts)
+        return jax.vmap(one)(v2d, z, verts, albedo, light_dir,
+                             light_color, ambient)
 
     def render_mask(self, scale, trans2d, verts_left, verts_right):
         _, mask = self.render_rgb_orth(scale, trans2d, verts_left, verts_right)

@@ -1,0 +1,54 @@
+"""Data-parallel sharded inference in the evaluator.
+
+`evaluate_packed(mesh=...)` shards the eval batch over the mesh 'data'
+axis with replicated params — the serving-scale counterpart of the
+trainer's batch sharding. Metrics must match the single-device path.
+"""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from renderih_tpu.assets import make_synthetic_assets
+from renderih_tpu.config import Config, ModelConfig, TrainConfig
+from renderih_tpu.data.interhand import make_synthetic_packed
+from renderih_tpu.eval.evaluator import evaluate_packed
+from renderih_tpu.models import init_model
+from renderih_tpu.parallel.mesh import make_mesh
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    assets = make_synthetic_assets(seed=0)
+    cfg = Config(
+        model=ModelConfig(encoder="resnet18"),
+        train=TrainConfig(precision="f32"),
+    )
+    model, variables = init_model(cfg, assets, jax.random.PRNGKey(0))
+    root = str(tmp_path_factory.mktemp("packed"))
+    dataset = make_synthetic_packed(root, "test", assets, n=32, seed=3)
+    return cfg, model, variables, assets, dataset
+
+
+def test_sharded_eval_matches_single_device(setup):
+    cfg, model, variables, assets, dataset = setup
+    single = evaluate_packed(cfg, model, variables, assets, dataset,
+                             batch_size=16)
+    mesh = make_mesh(data=8, model=1)
+    sharded = evaluate_packed(cfg, model, variables, assets, dataset,
+                              batch_size=16, mesh=mesh)
+    for k in ("mpjpe_mm", "mpvpe_mm", "pa_mpjpe_mm", "mrrpe_mm"):
+        assert sharded[k] == pytest.approx(single[k], abs=1e-3), k
+
+
+def test_sharded_eval_rounds_batch_to_axis(setup):
+    """A batch size not divisible by the data axis is rounded down, and the
+    tail is still evaluated (count preserved)."""
+    cfg, model, variables, assets, dataset = setup
+    mesh = make_mesh(data=8, model=1)
+    out = evaluate_packed(cfg, model, variables, assets, dataset,
+                          batch_size=12, mesh=mesh)  # rounds to 8
+    assert out["num_samples"] == len(dataset)
+    assert np.isfinite(out["mpjpe_mm"])

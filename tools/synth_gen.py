@@ -7,12 +7,17 @@ TPU-native replacement for the reference's offline synthetic pipeline
   1. sample random two-hand MANO configurations (pose/shape/root/offset)
   2. optionally refine them interpenetration-free with the contact/SDF
      optimizer (`renderih_tpu.optimize`)
-  3. render RGB with the JAX rasterizer over randomized backgrounds
+  3. render RGB with the JAX rasterizer: randomized skin-tone albedo,
+     directional Phong lighting, procedural backgrounds (value-noise
+     textures / gradients / solids) — the in-framework stand-in for
+     Blender's random materials/lights/background images
+     (`rendering_code/step4_load_mano_diffbg.py`)
   4. project labels with the sampled orthographic cameras
   5. write a packed dataset ready for training
 
-Visual fidelity is below Blender's path tracer; geometric annotation
-fidelity is identical — and the whole loop runs on the TPU.
+Visual fidelity is below Blender's path tracer (no global illumination,
+no image backgrounds); geometric annotation fidelity is identical — and
+the whole loop runs on the TPU.
 
   python tools/synth_gen.py --out packed_syn/ --n 512 [--optimize]
 """
@@ -46,6 +51,11 @@ def main():
     from renderih_tpu.mano.layer import mano_forward
     from renderih_tpu.ops.projection import orthographic_project
     from renderih_tpu.ops.rotation import rodrigues
+    from renderih_tpu.render.backgrounds import (
+        random_background,
+        random_lighting,
+        random_skin_albedo,
+    )
     from renderih_tpu.render.renderer import TwoHandRenderer
 
     cfg = Config()
@@ -91,12 +101,15 @@ def main():
         v2d_r = orthographic_project(scale, trans_r, v_r, IMG_SIZE)
         j2d_r = orthographic_project(scale, trans_r, j_r, IMG_SIZE)
 
+        albedo = random_skin_albedo(ks[10], bs, renderer.num_verts)
+        light_dir, light_color, ambient = random_lighting(ks[11], bs)
         rgb, mask = renderer.render_rgb_orth(
             {"left": scale, "right": scale},
-            {"left": trans_l, "right": trans_r}, v_l, v_r)
-        # randomized plain background
-        bg = jax.random.uniform(ks[10], (bs, 1, 1, 3))
-        noise = jax.random.normal(ks[11], rgb.shape) * 0.02
+            {"left": trans_l, "right": trans_r}, v_l, v_r,
+            albedo=albedo, light_dir=light_dir, light_color=light_color,
+            ambient=ambient, specular=0.15)
+        bg = random_background(ks[12], bs, IMG_SIZE)
+        noise = jax.random.normal(ks[13], rgb.shape) * 0.02
         img = jnp.clip(
             jnp.where(mask[..., None] > 0, rgb, bg) + noise, 0, 1)
 
