@@ -39,6 +39,10 @@ def main():
     # Opt-in only.
     if os.environ.get("BENCH_FUSED"):
         set_fused_attention(True)
+    # Paired L/R decoder: both hands through one hand-stacked trunk
+    # (identical math; see utils/pair_params.py). A/B knob.
+    if os.environ.get("BENCH_PAIRED"):
+        cfg.model.paired_lr = True
     assets = make_synthetic_assets(seed=0)
     model, variables = init_model(cfg, assets, jax.random.PRNGKey(0))
     call_kwargs = model_call_kwargs(cfg, assets)

@@ -45,6 +45,11 @@ class ModelConfig:
     # Auxiliary heatmap/mask/densepose heads (off in the flagship recipe,
     # matching `core/Loss.py:210-211`).
     with_aux_heads: bool = False
+    # Paired L/R decoder execution: both hands run through one
+    # hand-stacked (nn.vmap) trunk — identical math, params carry a
+    # leading (2,) axis (convert with utils/pair_params.py). Fewer,
+    # larger kernels at the decoder's tiny sequence lengths.
+    paired_lr: bool = False
     # Keep the dual-graph decoder in float32 even under the bf16 precision
     # policy. The decoder is a small fraction of the FLOPs (encoder convs
     # dominate) and regresses metric coordinates with sub-mm targets;

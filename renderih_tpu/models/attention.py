@@ -116,14 +116,29 @@ class InterAttn(nn.Module):
     f_dim: int
     n_heads: int = 4
     dropout: float = 0.1
+    paired: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, lf, rf, deterministic: bool = True):
-        lf = SelfAttn(self.f_dim, self.n_heads, self.f_dim, self.dropout,
-                      self.dtype, name="L_self_attn")(lf, deterministic)
-        rf = SelfAttn(self.f_dim, self.n_heads, self.f_dim, self.dropout,
-                      self.dtype, name="R_self_attn")(rf, deterministic)
+        if self.paired:
+            # one lifted SelfAttn with a leading (2,) hand axis on params —
+            # same math as L_self_attn/R_self_attn, batched execution
+            PairSelf = nn.vmap(
+                SelfAttn,
+                in_axes=(0, None), out_axes=0,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+            )
+            x = PairSelf(self.f_dim, self.n_heads, self.f_dim, self.dropout,
+                         self.dtype, name="LR_self_attn")(
+                             jnp.stack([lf, rf]), deterministic)
+            lf, rf = x[0], x[1]
+        else:
+            lf = SelfAttn(self.f_dim, self.n_heads, self.f_dim, self.dropout,
+                          self.dtype, name="L_self_attn")(lf, deterministic)
+            rf = SelfAttn(self.f_dim, self.n_heads, self.f_dim, self.dropout,
+                          self.dtype, name="R_self_attn")(rf, deterministic)
 
         d_head = self.f_dim // self.n_heads
         w_qs = nn.Dense(self.n_heads * d_head, dtype=self.dtype, name="w_qs")

@@ -73,6 +73,9 @@ class GraphDecoder(nn.Module):
     num_verts: int = 778
     img_size: int = 256
     with_mano_head: bool = False
+    # run L/R through one hand-stacked (nn.vmap) trunk — same math,
+    # fewer/larger kernels; see DualGraphLayer.paired
+    paired: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -130,6 +133,7 @@ class GraphDecoder(nn.Module):
             n_heads=self.n_heads,
             dropout=self.dropout,
             use_cheby=self.use_cheby,
+            paired=self.paired,
             dtype=self.dtype,
             name="dual_gcn",
         )(lf, rf, fmaps[: len(self.verts_nums)], laps_left, laps_right,

@@ -102,7 +102,16 @@ class GraphLayer(nn.Module):
 
 
 class DualGraphLayer(nn.Module):
-    """One decoder stage: PE + per-hand GraphLayer + img attn + inter attn."""
+    """One decoder stage: PE + per-hand GraphLayer + img attn + inter attn.
+
+    With `paired=True` the two hands run through ONE lifted (nn.vmap)
+    GraphLayer / ImgEx whose params carry a leading (2,) hand axis —
+    mathematically identical to the separate left/right modules (see
+    `renderih_tpu/utils/pair_params.py` for the param mapping), but the
+    whole stage compiles to batched einsums instead of two copies of
+    every op: fewer HLOs, larger fusions, less dispatch overhead at the
+    decoder's tiny sequence lengths.
+    """
 
     verts_num: int
     verts_in_dim: int
@@ -115,6 +124,7 @@ class DualGraphLayer(nn.Module):
     n_heads: int = 4
     dropout: float = 0.01
     use_cheby: bool = False
+    paired: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -129,26 +139,58 @@ class DualGraphLayer(nn.Module):
         lf = (lf + pos).astype(self.dtype)
         rf = (rf + pos).astype(self.dtype)
 
-        lf = GraphLayer(
-            self.verts_in_dim, self.verts_out_dim, self.graph_k,
-            self.num_blocks, self.dropout, self.use_cheby, self.dtype,
-            name="graph_left",
-        )(lf, lap_left, deterministic)
-        rf = GraphLayer(
-            self.verts_in_dim, self.verts_out_dim, self.graph_k,
-            self.num_blocks, self.dropout, self.use_cheby, self.dtype,
-            name="graph_right",
-        )(rf, lap_right, deterministic)
+        if self.paired:
+            x = jnp.stack([lf, rf])                     # (2, B, V, C)
+            laps = None
+            lap_axis = None
+            if lap_left is not None:
+                laps = jnp.stack([lap_left, lap_right])
+                lap_axis = 0
+            PairGraph = nn.vmap(
+                GraphLayer,
+                in_axes=(0, lap_axis, None), out_axes=0,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+            )
+            x = PairGraph(
+                self.verts_in_dim, self.verts_out_dim, self.graph_k,
+                self.num_blocks, self.dropout, self.use_cheby, self.dtype,
+                name="graph_pair",
+            )(x, laps, deterministic)
+            PairImgEx = nn.vmap(
+                ImgEx,
+                in_axes=(None, 0, None), out_axes=0,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+            )
+            x = PairImgEx(
+                self.img_size, self.grid_size, self.grid_f_dim,
+                self.verts_out_dim, self.n_heads, self.dropout, self.dtype,
+                name="img_ex_pair",
+            )(img_f, x, deterministic)
+            lf, rf = x[0], x[1]
+        else:
+            lf = GraphLayer(
+                self.verts_in_dim, self.verts_out_dim, self.graph_k,
+                self.num_blocks, self.dropout, self.use_cheby, self.dtype,
+                name="graph_left",
+            )(lf, lap_left, deterministic)
+            rf = GraphLayer(
+                self.verts_in_dim, self.verts_out_dim, self.graph_k,
+                self.num_blocks, self.dropout, self.use_cheby, self.dtype,
+                name="graph_right",
+            )(rf, lap_right, deterministic)
 
-        lf = ImgEx(self.img_size, self.grid_size, self.grid_f_dim,
-                   self.verts_out_dim, self.n_heads, self.dropout, self.dtype,
-                   name="img_ex_left")(img_f, lf, deterministic)
-        rf = ImgEx(self.img_size, self.grid_size, self.grid_f_dim,
-                   self.verts_out_dim, self.n_heads, self.dropout, self.dtype,
-                   name="img_ex_right")(img_f, rf, deterministic)
+            lf = ImgEx(self.img_size, self.grid_size, self.grid_f_dim,
+                       self.verts_out_dim, self.n_heads, self.dropout,
+                       self.dtype, name="img_ex_left")(img_f, lf, deterministic)
+            rf = ImgEx(self.img_size, self.grid_size, self.grid_f_dim,
+                       self.verts_out_dim, self.n_heads, self.dropout,
+                       self.dtype, name="img_ex_right")(img_f, rf, deterministic)
 
         return InterAttn(self.verts_out_dim, self.n_heads, self.dropout,
-                         self.dtype, name="inter_attn")(lf, rf, deterministic)
+                         paired=self.paired, dtype=self.dtype,
+                         name="inter_attn")(lf, rf, deterministic)
 
 
 class DualGraph(nn.Module):
@@ -165,6 +207,7 @@ class DualGraph(nn.Module):
     n_heads: int = 4
     dropout: float = 0.01
     use_cheby: bool = False
+    paired: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -180,7 +223,8 @@ class DualGraph(nn.Module):
                 self.verts_nums[i], self.verts_in_dims[i], self.verts_out_dims[i],
                 self.graph_k, self.num_blocks, self.img_sizes[i],
                 self.grid_size, self.grid_f_dims[i], self.n_heads,
-                self.dropout, self.use_cheby, self.dtype, name=f"layer_{i}",
+                self.dropout, self.use_cheby, self.paired, self.dtype,
+                name=f"layer_{i}",
             )(lf, rf, img_f_list[i], lap_l, lap_r, deterministic)
             outs.append((lf, rf))
             if i != n - 1:

@@ -67,6 +67,7 @@ class HandNet(nn.Module):
             use_cheby=m.use_cheby,
             img_size=m.img_size,
             with_mano_head=(m.decoder == "mano"),
+            paired=m.paired_lr,
             dtype=jnp.float32 if m.decoder_f32 else self.dtype,
         )
 
