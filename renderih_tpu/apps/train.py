@@ -50,7 +50,9 @@ def main(argv=None):
     parser.add_argument("--synthetic", action="store_true",
                         help="train on a synthetic packed dataset (smoke)")
     parser.add_argument("--epochs", type=int, default=None)
-    parser.add_argument("--resume", type=str, default=None)
+    parser.add_argument("--resume", type=str, default=None,
+                        help="checkpoint path, or 'auto' to pick the newest "
+                             "checkpoint in cfg.train.checkpoint_dir")
     parser.add_argument("--steps", type=int, default=None,
                         help="hard cap on total steps (smoke runs)")
     parser.add_argument("--multihost", action="store_true",
@@ -103,10 +105,29 @@ def main(argv=None):
     log.info("model: %s, %.2fM params", cfg.model.encoder, n_params / 1e6)
 
     state = create_train_state(cfg, variables, steps_per_epoch)
-    if args.resume:
-        state = restore_checkpoint(args.resume, state)
-        log.info("resumed from %s at step %d", args.resume, int(state.step))
+    resume_path = args.resume
+    if resume_path == "auto":
+        from renderih_tpu.train.state import latest_checkpoint
+
+        resume_path = latest_checkpoint(cfg.train.checkpoint_dir)
+        log.info("resume auto: %s", resume_path or "no checkpoint found")
+    if resume_path:
+        state = restore_checkpoint(resume_path, state)
+        log.info("resumed from %s at step %d", resume_path, int(state.step))
     state = shard_train_state(state, mesh, cfg)
+
+    # Preemption safety: on SIGTERM save a 'preempt' checkpoint and exit;
+    # `--resume auto` picks it up on restart. (The reference has no
+    # preemption story — weights-only saves every SAVE_GAP epochs,
+    # `core/lijun_trainer.py:343-355`.)
+    import signal
+
+    _preempted = {"flag": False}
+
+    def _on_sigterm(signum, frame):
+        _preempted["flag"] = True
+
+    signal.signal(signal.SIGTERM, _on_sigterm)
 
     step_fn, _ = make_train_step(cfg, model, assets, steps_per_epoch,
                                  mesh=mesh, params_template=variables["params"])
@@ -145,6 +166,14 @@ def main(argv=None):
             )
             writer.write(i + 1, terms, prefix="train/")
             writer.write(i + 1, {"images_per_sec": ips})
+
+        if _preempted["flag"]:
+            path = os.path.abspath(
+                os.path.join(cfg.train.checkpoint_dir, "preempt"))
+            save_checkpoint(path, state)
+            log.info("SIGTERM: saved preemption checkpoint %s at step %d",
+                     path, i + 1)
+            return
 
         epoch = (i + 1) // steps_per_epoch
         if (i + 1) % steps_per_epoch == 0 and epoch % cfg.train.save_gap == 0:

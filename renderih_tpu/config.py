@@ -91,6 +91,10 @@ class TrainConfig:
     precision: str = "bf16"
     # ZeRO-1: shard optimizer state over the data axis.
     zero1: bool = True
+    # Skip (don't apply) any update whose loss is non-finite instead of
+    # poisoning params/optimizer/BN state; reported per step as
+    # `skipped_nonfinite`.
+    nan_guard: bool = True
     save_gap: int = 10
     log_every: int = 50
     eval_every: int = 10

@@ -110,3 +110,37 @@ def restore_checkpoint(path: str, template: TrainState) -> TrainState:
 
     ckptr = ocp.StandardCheckpointer()
     return ckptr.restore(path, target=jax.device_get(template))
+
+
+def latest_checkpoint(checkpoint_dir: str) -> str | None:
+    """Newest checkpoint under `checkpoint_dir`, or None.
+
+    Recognizes the trainer's own layout: `epoch_<N>` (highest N wins),
+    then `preempt`, then `final`. Reference equivalent: the legacy
+    harness globbing `snapshot_*.pth.tar` and restarting from the max
+    epoch (`common/base.py:83-93`) — ours also considers the
+    preemption-save and the final checkpoint.
+    """
+    import os
+    import re
+
+    if not os.path.isdir(checkpoint_dir):
+        return None
+    epochs = []
+    for name in os.listdir(checkpoint_dir):
+        m = re.fullmatch(r"epoch_(\d+)", name)
+        if m and os.path.isdir(os.path.join(checkpoint_dir, name)):
+            epochs.append((int(m.group(1)), name))
+    candidates = [name for _, name in sorted(epochs)]
+    for special in ("preempt", "final"):
+        if os.path.isdir(os.path.join(checkpoint_dir, special)):
+            candidates.append(special)
+    if not candidates:
+        return None
+    # newest by step: orbax stores the step inside, but mtime ordering is
+    # enough to pick between epoch_N / preempt / final saves
+    best = max(
+        candidates,
+        key=lambda n: os.path.getmtime(os.path.join(checkpoint_dir, n)),
+    )
+    return os.path.abspath(os.path.join(checkpoint_dir, best))

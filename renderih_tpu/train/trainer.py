@@ -125,6 +125,23 @@ def make_train_step(
         )(state.params)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
+        if cfg.train.nan_guard:
+            # Production safety: a non-finite loss (bad batch, overflow)
+            # must not poison params/optimizer/BN state. Keep the old
+            # state for that step and report it. The reference has no
+            # equivalent (NaNs only get filtered at eval aggregation,
+            # `core/lijun_trainer.py:506-515`).
+            ok = jnp.isfinite(terms["total"])
+
+            def _sel(new, old):
+                return jax.tree_util.tree_map(
+                    lambda a, b: jnp.where(ok, a, b), new, old)
+
+            new_params = _sel(new_params, state.params)
+            new_opt = _sel(new_opt, state.opt_state)
+            new_bs = _sel(new_bs, state.batch_stats)
+            terms = {**terms,
+                     "skipped_nonfinite": 1.0 - ok.astype(jnp.float32)}
         new_state = TrainState(
             step=state.step + 1,
             params=new_params,
