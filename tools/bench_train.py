@@ -34,6 +34,8 @@ def main():
     cfg = Config()
     b = int(os.environ.get("BENCH_BATCH", "64"))
     cfg.train.batch_size = b
+    if os.environ.get("BENCH_NAN_GUARD", "") == "0":  # A/B knob
+        cfg.train.nan_guard = False
     assets = make_synthetic_assets(seed=0)
     model, variables = init_model(cfg, assets, jax.random.PRNGKey(0))
     state = create_train_state(cfg, variables, steps_per_epoch=100)
