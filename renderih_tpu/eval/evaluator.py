@@ -73,9 +73,8 @@ def evaluate_packed(
             step, in_shardings=(data_sh, data_sh, data_sh, None))
     else:
         step = jax.jit(step)
-    acc: dict = {}
-    total_time = 0.0
-    for start in range(0, n, batch_size):
+
+    def host_batch(start):
         # fixed-size batches (pad the tail by repeating the last sample)
         # so the jitted step compiles exactly once
         idx = np.arange(start, min(start + batch_size, n))
@@ -83,7 +82,17 @@ def evaluate_packed(
         if valid < batch_size:
             idx = np.concatenate(
                 [idx, np.full(batch_size - valid, idx[-1])])
-        b = dataset.batch(idx)
+        return dataset.batch(idx), valid
+
+    acc: dict = {}
+    total_time = 0.0
+    # depth-1 software pipeline: dispatch batch i (async under jit), do
+    # the *host* gather for batch i+1, then block on batch i's metrics —
+    # host IO overlaps device compute
+    starts = list(range(0, n, batch_size))
+    b, valid = host_batch(starts[0])
+    pending = None  # (metrics_future, valid, t0)
+    for j, start in enumerate(starts):
         t0 = time.perf_counter()
         m = step(
             jnp.asarray(b["img_u8"]),
@@ -91,11 +100,15 @@ def evaluate_packed(
             jnp.asarray(b["v3d_right"]),
             0.0,
         )
+        pending = (m, valid, t0, start)
+        if j + 1 < len(starts):
+            b, valid = host_batch(starts[j + 1])
+        m, v_ok, t0, s0 = pending
         m = jax.device_get(m)
-        if start > 0:  # exclude the compile batch from throughput
+        if s0 > 0:  # exclude the compile batch from throughput
             total_time += time.perf_counter() - t0
         for k, v in m.items():
-            acc.setdefault(k, []).append(np.asarray(v)[:valid])
+            acc.setdefault(k, []).append(np.asarray(v)[:v_ok])
 
     vectors = {k: np.concatenate(v) for k, v in acc.items()}
     summary = summarize(vectors, iou)
