@@ -71,7 +71,9 @@ class TwoHandRenderer:
           light_dir   (B, 3) unit vector toward the light, or None -> +z
           light_color (B, 3) diffuse intensity, default 1
           ambient     (B, 3) ambient intensity, default 0
-          specular    scalar Blinn-Phong specular weight (camera at +z)
+          specular    Blinn-Phong specular weight — a static Python
+                      float (trace-time switch; passing a traced array
+                      fails under jit)
 
         Returns (rgb (B,H,W,3), mask (B,H,W)).
         """
@@ -105,10 +107,13 @@ class TwoHandRenderer:
                 lambert = jnp.clip(lambert, 0.2, 1.0)
             colors = alb_i * (amb_i[None] + lc_i[None] * lambert[:, None])
             if specular:
-                # Blinn-Phong: camera along -z, half vector of (light, view)
+                # Blinn-Phong: camera along -z, half vector of (light, view);
+                # gated by n.l > 0 so back-facing (unlit) surfaces get no
+                # highlight
                 h = ld_i + jnp.array([0.0, 0.0, -1.0])
                 h = h / (jnp.linalg.norm(h) + 1e-9)
                 spec = jnp.maximum(normals @ h, 0.0) ** shininess
+                spec = jnp.where(lambert > 0.0, spec, 0.0)
                 colors = colors + specular * lc_i[None] * spec[:, None]
             colors = jnp.clip(colors, 0.0, 1.0)
             attrs = jnp.concatenate([colors, jnp.ones((colors.shape[0], 1))], -1)

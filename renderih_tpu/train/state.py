@@ -131,14 +131,17 @@ def latest_checkpoint(checkpoint_dir: str) -> str | None:
         m = re.fullmatch(r"epoch_(\d+)", name)
         if m and os.path.isdir(os.path.join(checkpoint_dir, name)):
             epochs.append((int(m.group(1)), name))
-    candidates = [name for _, name in sorted(epochs)]
+    # epoch_N are ordered by N (robust against mtime-resetting copies,
+    # e.g. checkpoints rsynced to a fresh VM); only the highest epoch
+    # competes with the specials, and that tie is broken by mtime —
+    # preempt/final are written by the same run as the epochs next to
+    # them, so their relative mtimes are meaningful
+    candidates = [max(epochs)[1]] if epochs else []
     for special in ("preempt", "final"):
         if os.path.isdir(os.path.join(checkpoint_dir, special)):
             candidates.append(special)
     if not candidates:
         return None
-    # newest by step: orbax stores the step inside, but mtime ordering is
-    # enough to pick between epoch_N / preempt / final saves
     best = max(
         candidates,
         key=lambda n: os.path.getmtime(os.path.join(checkpoint_dir, n)),

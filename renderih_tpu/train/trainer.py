@@ -125,13 +125,20 @@ def make_train_step(
         )(state.params)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
+        new_step = state.step + 1
         if cfg.train.nan_guard:
-            # Production safety: a non-finite loss (bad batch, overflow)
-            # must not poison params/optimizer/BN state. Keep the old
-            # state for that step and report it. The reference has no
-            # equivalent (NaNs only get filtered at eval aggregation,
-            # `core/lijun_trainer.py:506-515`).
-            ok = jnp.isfinite(terms["total"])
+            # Production safety: a non-finite loss OR gradient (bad batch,
+            # bf16 backward overflow can produce inf grads under a finite
+            # loss) must not poison params/optimizer/BN state. Keep the
+            # old state for that step and report it. `step` also stays
+            # put so the step counter equals the number of applied
+            # updates and the LR schedule (optax count) never drifts from
+            # it. The reference has no equivalent (NaNs only get filtered
+            # at eval aggregation, `core/lijun_trainer.py:506-515`).
+            ok = jnp.isfinite(terms["total"]) & jax.tree_util.tree_reduce(
+                lambda a, g: a & jnp.all(jnp.isfinite(g)),
+                grads, jnp.asarray(True),
+            )
 
             def _sel(new, old):
                 return jax.tree_util.tree_map(
@@ -140,10 +147,11 @@ def make_train_step(
             new_params = _sel(new_params, state.params)
             new_opt = _sel(new_opt, state.opt_state)
             new_bs = _sel(new_bs, state.batch_stats)
+            new_step = state.step + ok.astype(state.step.dtype)
             terms = {**terms,
                      "skipped_nonfinite": 1.0 - ok.astype(jnp.float32)}
         new_state = TrainState(
-            step=state.step + 1,
+            step=new_step,
             params=new_params,
             batch_stats=new_bs,
             opt_state=new_opt,

@@ -50,12 +50,13 @@ def test_nan_guard_skips_poisoned_batch(setup):
     params_before = jax.device_get(state.params)
     state, terms = step(state, poisoned, jax.random.PRNGKey(7))
     assert float(terms["skipped_nonfinite"]) == 1.0
-    # params unchanged; step still advances
+    # params unchanged; step does NOT advance (step == applied updates,
+    # so the optax-count-driven LR schedule never drifts from state.step)
     a = jax.tree_util.tree_leaves(params_before)
     b = jax.tree_util.tree_leaves(jax.device_get(state.params))
     for x, y in zip(a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
-    assert int(state.step) == 1
+    assert int(state.step) == 0
     assert np.all(np.isfinite(np.asarray(
         jax.tree_util.tree_leaves(state.params)[0])))
 
@@ -63,6 +64,7 @@ def test_nan_guard_skips_poisoned_batch(setup):
     state, terms = step(state, batch, jax.random.PRNGKey(8))
     assert float(terms["skipped_nonfinite"]) == 0.0
     assert np.isfinite(float(terms["total"]))
+    assert int(state.step) == 1
     changed = any(
         not np.array_equal(np.asarray(x), np.asarray(y))
         for x, y in zip(a, jax.tree_util.tree_leaves(
@@ -77,6 +79,11 @@ def test_latest_checkpoint_ordering(tmp_path):
     for name in ("epoch_2", "epoch_10"):
         os.makedirs(os.path.join(d, name))
         time.sleep(0.01)
+    assert latest_checkpoint(d).endswith("epoch_10")
+    # epochs are ordered by N, not mtime: an rsync'd dir whose epoch_10
+    # mtime predates epoch_2 must still resume from epoch_10
+    old = time.time() - 100
+    os.utime(os.path.join(d, "epoch_10"), (old, old))
     assert latest_checkpoint(d).endswith("epoch_10")
     os.makedirs(os.path.join(d, "preempt"))
     # make preempt newest
