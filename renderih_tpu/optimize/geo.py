@@ -15,6 +15,13 @@ plausibility. Loss terms mirror the reference:
   * pose/shape regularization toward the initialization
     (`HandLoss.pose_reg_loss` / `shape_reg_loss`).
   * per-joint rotation-angle limit (`HandLoss.rotation_angle_loss`).
+  * optional naturalness prior via `pose_prior_fn` — the reference scores
+    augmented poses with a pretrained 2D-pose GAN discriminator
+    (`pose_data_optimize/Ver2Code/Discriminator/discrim.py:66-105`, whose
+    weights are not shipped); we accept any differentiable
+    `pose_aa -> scalar` callable instead. `make_gaussian_pose_prior`
+    builds the analytic equivalent (Mahalanobis energy under a fitted
+    Gaussian of plausible poses).
 
 The optimizer is Adam over (pose, shape, trans) of both hands in one
 jitted `lax.fori_loop` — the reference's 2500-iteration python loop
@@ -45,6 +52,7 @@ class GeoWeights(NamedTuple):
     pose_reg: float = 1.0
     shape_reg: float = 0.1
     angle_limit: float = 10.0
+    prior: float = 0.01        # naturalness prior (pose_prior_fn) weight
 
 
 def anchor_pairs(verts_a: jax.Array, verts_b: jax.Array,
@@ -115,6 +123,25 @@ def pose_angle_limit_loss(pose_aa: jax.Array,
     return jnp.sum(jnp.maximum(angles - limit, 0.0) ** 2)
 
 
+def make_gaussian_pose_prior(poses_aa: jax.Array, eps: float = 1e-3):
+    """Fit a Gaussian to a (N, 45) set of plausible poses; return a
+    differentiable energy `pose_aa -> scalar` (Mahalanobis distance).
+
+    Analytic stand-in for the reference's GAN-discriminator naturalness
+    score — monotone in implausibility, zero-gradient at the mean pose.
+    """
+    mean = jnp.mean(poses_aa, axis=0)
+    centered = poses_aa - mean
+    cov = centered.T @ centered / max(len(poses_aa) - 1, 1)
+    prec = jnp.linalg.inv(cov + eps * jnp.eye(cov.shape[0]))
+
+    def prior(pose_aa: jax.Array) -> jax.Array:
+        d = pose_aa - mean
+        return d @ prec @ d
+
+    return prior
+
+
 class HandVars(NamedTuple):
     pose: jax.Array     # (45,) axis-angle
     shape: jax.Array    # (10,)
@@ -130,8 +157,13 @@ def optimize_two_hands(
     lr: float = 1e-2,
     weights: GeoWeights = GeoWeights(),
     sdf_grid_size: int = 24,
+    pose_prior_fn=None,
 ):
-    """Jointly refine both hands. Returns (left', right', final_losses)."""
+    """Jointly refine both hands. Returns (left', right', final_losses).
+
+    `pose_prior_fn`: optional differentiable naturalness energy
+    `(45,) axis-angle -> scalar`, weighted by `weights.prior` (see
+    `make_gaussian_pose_prior`)."""
     faces_l = assets.left.mano.faces
     faces_r = assets.right.mano.faces
 
@@ -184,6 +216,8 @@ def optimize_two_hands(
             "angle": pose_angle_limit_loss(l.pose)
             + pose_angle_limit_loss(r.pose),
         }
+        if pose_prior_fn is not None:
+            terms["prior"] = pose_prior_fn(l.pose) + pose_prior_fn(r.pose)
         total = (
             weights.contact * terms["contact"]
             + weights.repulsion * terms["repulsion"]
@@ -192,6 +226,8 @@ def optimize_two_hands(
             + weights.pose_reg * terms["pose_reg"]
             + weights.shape_reg * terms["shape_reg"]
             + weights.angle_limit * terms["angle"]
+            + (weights.prior * terms["prior"]
+               if pose_prior_fn is not None else 0.0)
         )
         return total, terms
 

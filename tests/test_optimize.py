@@ -77,3 +77,39 @@ def test_optimize_reduces_penetration(assets):
     assert pen1 < pen0 * 0.7, (pen0, pen1)
     # pose stays plausible
     assert float(pose_angle_limit_loss(l2.pose)) < 1.0
+
+
+def test_gaussian_pose_prior(assets):
+    """The analytic naturalness prior: zero at the mean, positive away
+    from it, and it steers the optimizer toward plausible poses."""
+    from renderih_tpu.optimize.geo import make_gaussian_pose_prior
+
+    rng = np.random.default_rng(0)
+    poses = jnp.asarray(rng.normal(0, 0.3, (200, 45)), jnp.float32)
+    prior = make_gaussian_pose_prior(poses)
+    mean = jnp.mean(poses, axis=0)
+    assert float(prior(mean)) < 1e-3
+    far = mean + 2.0
+    assert float(prior(far)) > float(prior(mean)) + 1.0
+
+    # with a heavy prior weight, the optimized pose ends closer to the
+    # prior mean than without it
+    from renderih_tpu.optimize.geo import GeoWeights
+
+    start_pose = jnp.asarray(rng.normal(0, 0.8, (45,)), jnp.float32)
+    left = HandVars(pose=start_pose, shape=jnp.zeros(10),
+                    trans=jnp.zeros(3), root_aa=jnp.zeros(3))
+    right = HandVars(pose=start_pose, shape=jnp.zeros(10),
+                     trans=jnp.asarray([0.05, 0.0, 0.0]),
+                     root_aa=jnp.zeros(3))
+    w = GeoWeights(prior=10.0, pose_reg=0.0)
+    l_p, _, terms = optimize_two_hands(
+        assets, left, right, n_iter=40, lr=5e-3, sdf_grid_size=16,
+        weights=w, pose_prior_fn=prior)
+    l_np, _, _ = optimize_two_hands(
+        assets, left, right, n_iter=40, lr=5e-3, sdf_grid_size=16,
+        weights=GeoWeights(pose_reg=0.0))
+    assert "prior" in terms
+    d_with = float(jnp.linalg.norm(l_p.pose - mean))
+    d_without = float(jnp.linalg.norm(l_np.pose - mean))
+    assert d_with < d_without

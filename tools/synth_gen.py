@@ -39,6 +39,8 @@ def main():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--optimize", action="store_true",
                    help="run contact/SDF refinement on each sample")
+    p.add_argument("--opt_iters", type=int, default=60,
+                   help="Adam iterations per sample for --optimize")
     p.add_argument("--batch", type=int, default=32)
     args = p.parse_args()
 
@@ -74,64 +76,132 @@ def main():
     from functools import partial
 
     @partial(jax.jit, static_argnums=(1,))
-    def sample_batch(key, bs):
-        ks = jax.random.split(key, 14)
+    def sample_raw(key, bs):
+        """Raw two-hand configurations: params + cameras, no geometry."""
+        ks = jax.random.split(key, 10)
+        raw = dict(
+            root_l=jax.random.normal(ks[0], (bs, 3)) * 0.8,
+            pose_l=jax.random.normal(ks[1], (bs, 45)) * 0.4,
+            shape_l=jax.random.normal(ks[2], (bs, 10)) * 0.6,
+            root_r=jax.random.normal(ks[3], (bs, 3)) * 0.8,
+            pose_r=jax.random.normal(ks[4], (bs, 45)) * 0.4,
+            shape_r=jax.random.normal(ks[5], (bs, 10)) * 0.6,
+            # right hand placed near the left
+            offset=jax.random.normal(ks[6], (bs, 3)) * 0.04,
+            scale=jax.random.uniform(ks[7], (bs,), minval=0.8, maxval=1.4),
+            trans_l=jax.random.uniform(ks[8], (bs, 2), minval=-0.35,
+                                       maxval=0.0),
+        )
+        raw["trans_r"] = raw["trans_l"] + jax.random.uniform(
+            ks[9], (bs, 2), minval=0.1, maxval=0.35)
+        return raw
 
-        def hand(model, k_root, k_pose, k_shape):
-            root = rodrigues(jax.random.normal(k_root, (bs, 3)) * 0.8)
-            pose = jax.random.normal(k_pose, (bs, 45)) * 0.4
-            shape = jax.random.normal(k_shape, (bs, 10)) * 0.6
-            v, j = mano_forward(model, root, pose, shape, center_idx=9,
-                                use_pca=False)
-            return v, j, pose, shape, root
+    @partial(jax.jit, static_argnums=(2,))
+    def finalize(raw, key, bs):
+        """Params -> geometry, labels, rendered image."""
+        ks = jax.random.split(key, 4)
 
-        v_l, j_l, pose_l, shape_l, root_l = hand(assets.left.mano, *ks[0:3])
-        v_r, j_r, pose_r, shape_r, root_r = hand(assets.right.mano, *ks[3:6])
-        # place hands near each other
-        offset = jax.random.normal(ks[6], (bs, 3)) * 0.04
-        v_r = v_r + offset[:, None]
-        j_r = j_r + offset[:, None]
+        def hand(model, root_aa, pose, shape):
+            return mano_forward(model, rodrigues(root_aa), pose, shape,
+                                center_idx=9, use_pca=False)
 
-        scale = jax.random.uniform(ks[7], (bs,), minval=0.8, maxval=1.4)
-        trans_l = jax.random.uniform(ks[8], (bs, 2), minval=-0.35, maxval=0.0)
-        trans_r = trans_l + jax.random.uniform(ks[9], (bs, 2),
-                                               minval=0.1, maxval=0.35)
+        v_l, j_l = hand(assets.left.mano, raw["root_l"], raw["pose_l"],
+                        raw["shape_l"])
+        v_r, j_r = hand(assets.right.mano, raw["root_r"], raw["pose_r"],
+                        raw["shape_r"])
+        v_r = v_r + raw["offset"][:, None]
+        j_r = j_r + raw["offset"][:, None]
+
+        scale, trans_l, trans_r = raw["scale"], raw["trans_l"], raw["trans_r"]
         v2d_l = orthographic_project(scale, trans_l, v_l, IMG_SIZE)
         j2d_l = orthographic_project(scale, trans_l, j_l, IMG_SIZE)
         v2d_r = orthographic_project(scale, trans_r, v_r, IMG_SIZE)
         j2d_r = orthographic_project(scale, trans_r, j_r, IMG_SIZE)
 
-        albedo = random_skin_albedo(ks[10], bs, renderer.num_verts)
-        light_dir, light_color, ambient = random_lighting(ks[11], bs)
+        albedo = random_skin_albedo(ks[0], bs, renderer.num_verts)
+        light_dir, light_color, ambient = random_lighting(ks[1], bs)
         rgb, mask = renderer.render_rgb_orth(
             {"left": scale, "right": scale},
             {"left": trans_l, "right": trans_r}, v_l, v_r,
             albedo=albedo, light_dir=light_dir, light_color=light_color,
             ambient=ambient, specular=0.15)
-        bg = random_background(ks[12], bs, IMG_SIZE)
-        noise = jax.random.normal(ks[13], rgb.shape) * 0.02
+        bg = random_background(ks[2], bs, IMG_SIZE)
+        noise = jax.random.normal(ks[3], rgb.shape) * 0.02
         img = jnp.clip(
             jnp.where(mask[..., None] > 0, rgb, bg) + noise, 0, 1)
 
-        out = dict(
+        return dict(
             img_u8=(img * 255).astype(jnp.uint8),
             v3d_left=v_l, j3d_left=j_l, v2d_left=v2d_l, j2d_left=j2d_l,
             v3d_right=v_r, j3d_right=j_r, v2d_right=v2d_r, j2d_right=j2d_r,
             pose_left=jnp.concatenate(
-                [jnp.zeros((bs, 3)), pose_l], -1),
-            shape_left=shape_l,
+                [jnp.zeros((bs, 3)), raw["pose_l"]], -1),
+            shape_left=raw["shape_l"],
             pose_right=jnp.concatenate(
-                [jnp.zeros((bs, 3)), pose_r], -1),
-            shape_right=shape_r,
+                [jnp.zeros((bs, 3)), raw["pose_r"]], -1),
+            shape_right=raw["shape_r"],
         )
-        return out
+
+    refine = None
+    if args.optimize:
+        # contact/SDF refinement (reference `pose_data_optimize` step),
+        # with the Gaussian naturalness prior fitted to the sampling
+        # distribution (stand-in for the reference's GAN discriminator)
+        from renderih_tpu.optimize.geo import (
+            GeoWeights,
+            HandVars,
+            make_gaussian_pose_prior,
+            optimize_two_hands,
+        )
+
+        prior = make_gaussian_pose_prior(
+            jax.random.normal(jax.random.PRNGKey(1234), (256, 45)) * 0.4)
+
+        def root_joint(model, root_aa, pose, shape):
+            _, j = mano_forward(model, rodrigues(root_aa[None]), pose[None],
+                                shape[None], center_idx=None, use_pca=False)
+            return j[0, 9]
+
+        def refine(raw, i):
+            """Refine sample i in place. Optimizer frame = uncentered MANO
+            + trans, aligned to the label frame (per-hand root-centered +
+            offset) by trans = -j9(params); the refined offset maps back
+            as trans_r' + j9_r' - trans_l' - j9_l'."""
+            r = {k: jnp.asarray(v[i]) for k, v in raw.items()}
+            j9_l = root_joint(assets.left.mano, r["root_l"], r["pose_l"],
+                              r["shape_l"])
+            j9_r = root_joint(assets.right.mano, r["root_r"], r["pose_r"],
+                              r["shape_r"])
+            left = HandVars(pose=r["pose_l"], shape=r["shape_l"],
+                            trans=-j9_l, root_aa=r["root_l"])
+            right = HandVars(pose=r["pose_r"], shape=r["shape_r"],
+                             trans=-j9_r + r["offset"], root_aa=r["root_r"])
+            l2, r2, _ = optimize_two_hands(
+                assets, left, right, n_iter=args.opt_iters,
+                sdf_grid_size=16, weights=GeoWeights(),
+                pose_prior_fn=prior)
+            j9_l2 = root_joint(assets.left.mano, l2.root_aa, l2.pose, l2.shape)
+            j9_r2 = root_joint(assets.right.mano, r2.root_aa, r2.pose, r2.shape)
+            upd = dict(
+                pose_l=l2.pose, shape_l=l2.shape, root_l=l2.root_aa,
+                pose_r=r2.pose, shape_r=r2.shape, root_r=r2.root_aa,
+                offset=(r2.trans + j9_r2) - (l2.trans + j9_l2),
+            )
+            for k, v in upd.items():
+                raw[k] = raw[k].at[i].set(v)
+            return raw
 
     key = jax.random.PRNGKey(args.seed)
     written = 0
     while written < n:
         bs = min(args.batch, n - written)
         key, sub = jax.random.split(key)
-        batch = jax.device_get(sample_batch(sub, bs))
+        raw = sample_raw(sub, bs)
+        if refine is not None:
+            for i in range(bs):
+                raw = refine(raw, i)
+        batch = jax.device_get(
+            finalize(raw, jax.random.fold_in(sub, 1), bs))
         images[written : written + bs] = batch["img_u8"][:bs]
         for k in LABEL_KEYS:
             labels[k][written : written + bs] = batch[k][:bs]
