@@ -40,6 +40,9 @@ def main(argv=None):
     p.add_argument("--mesh_data", type=int, default=0,
                    help="shard inference data-parallel over N devices "
                         "(0 = single device)")
+    p.add_argument("--newmpjpe", action="store_true",
+                   help="root=joint 9, length=|j9-j0| convention "
+                        "(reference apps/eval_interhand_newmpjpe.py)")
     args = p.parse_args(argv)
 
     if args.fused_attn and jax.default_backend() != "cpu":
@@ -70,8 +73,9 @@ def main(argv=None):
                          devices=jax.devices()[: args.mesh_data])
 
     iou = np.load(args.iou, allow_pickle=True) if args.iou else None
-    summary = evaluate_packed(cfg, model, variables, assets, dataset,
-                              batch_size=args.bs, iou=iou, mesh=mesh)
+    summary = evaluate_packed(
+        cfg, model, variables, assets, dataset, batch_size=args.bs, iou=iou,
+        mesh=mesh, convention="newmpjpe" if args.newmpjpe else "default")
     if args.json:
         print(json.dumps({k: float(v) for k, v in summary.items()}))
     else:

@@ -25,6 +25,14 @@ from renderih_tpu.models import HandNet, model_call_kwargs
 METRIC_KEYS = (
     "ori_mpjpe", "ori_mpvpe", "mpjpe", "mpvpe", "pa_mpjpe", "pa_mpvpe",
 )
+DOUBLE_KEYS = (
+    "double_mpjpe", "double_mpvpe", "double_pa_mpjpe", "double_pa_mpvpe",
+)
+# metric conventions: (root_idx, length_joints) — see two_hand_metrics
+CONVENTIONS = {
+    "default": (0, (0, 1)),   # apps/eval_interhand.py:323-351
+    "newmpjpe": (9, (0, 9)),  # apps/eval_interhand_newmpjpe.py:323-351
+}
 
 
 def evaluate_packed(
@@ -36,13 +44,16 @@ def evaluate_packed(
     batch_size: int = 512,
     iou: np.ndarray | None = None,
     mesh=None,
+    convention: str = "default",
 ) -> dict:
     """Evaluate `dataset`. With `mesh`, inference is sharded data-parallel
     over the mesh's 'data' axis (variables replicated, batch split — the
     serving-scale counterpart of the trainer's batch sharding); the metric
-    math is unchanged."""
+    math is unchanged. `convention` selects the root/length definition
+    ('default' = eval_interhand, 'newmpjpe' = eval_interhand_newmpjpe)."""
     call_kwargs = model_call_kwargs(cfg, assets)
     j_reg = {"left": assets.left.j_reg_21, "right": assets.right.j_reg_21}
+    root_idx, length_joints = CONVENTIONS[convention]
 
     def step(img_u8, v3d_left, v3d_right, root_rel_dummy):
         batch = {"img_u8": img_u8}
@@ -57,7 +68,8 @@ def evaluate_packed(
             "right": out.verts3d["right"],
         }
         gt = {"left": v3d_left, "right": v3d_right}
-        return two_hand_metrics(pred, gt, j_reg)
+        return two_hand_metrics(pred, gt, j_reg, root_idx=root_idx,
+                                length_joints=length_joints)
 
     n = len(dataset)
     batch_size = min(batch_size, n)
@@ -131,6 +143,9 @@ def summarize(vectors: dict, iou: np.ndarray | None = None) -> dict:
         out[f"{key}_mm"] = 500.0 * (left.mean() + right.mean())
     out["mrrpe_mm"] = 1000.0 * vectors["mrrpe"].mean()
     out["cdev_mm"] = 1000.0 * _nanmean(vectors["cdev"])
+    for key in DOUBLE_KEYS:
+        if key in vectors:
+            out[f"{key}_mm"] = 1000.0 * vectors[key].mean()
 
     if iou is not None:
         n = min(len(iou), len(vectors["mrrpe"]))
@@ -168,5 +183,10 @@ def print_summary(summary: dict) -> None:
     print(f"    all_pa: {summary['pa_mpvpe_mm']:.3f} mm")
     print(f"mrrpe: {summary['mrrpe_mm']:.3f} mm")
     print(f"cdev: {summary['cdev_mm']:.3f} mm")
+    if "double_mpjpe_mm" in summary:
+        print(f"double MPJPE: {summary['double_mpjpe_mm']:.3f} mm")
+        print(f"double MPVPE: {summary['double_mpvpe_mm']:.3f} mm")
+        print(f"double PAMPJPE: {summary['double_pa_mpjpe_mm']:.3f} mm")
+        print(f"double PAMPVPE: {summary['double_pa_mpvpe_mm']:.3f} mm")
     print(f"throughput: {summary['images_per_sec']:.1f} images/sec "
           f"({summary['num_samples']} samples)")

@@ -25,6 +25,7 @@ Typical use:
 
 from __future__ import annotations
 
+import copy
 import queue
 import threading
 from concurrent.futures import Future
@@ -54,13 +55,21 @@ class InferenceEngine:
         decoder_bf16: bool = False,
         mesh=None,
     ):
-        self.cfg = cfg or Config()
+        # own copy: never mutate a caller's Config (it may be shared with a
+        # concurrent train/eval in the same process)
+        self.cfg = copy.deepcopy(cfg) if cfg is not None else Config()
         if decoder_bf16:
             # serving-throughput knob (+12%); moves trained predictions
             # ~7-9 mm/vertex — see tools/validate_bf16_decoder.py
             self.cfg.model.decoder_f32 = False
         self.assets = assets if assets is not None else load_assets(self.cfg.assets)
         self.buckets = tuple(sorted(buckets))
+        if mesh is not None:
+            # jit in_shardings=P('data') requires batch % n_data == 0:
+            # round every bucket up to a multiple of the data axis.
+            n_data = mesh.shape["data"]
+            self.buckets = tuple(sorted(
+                {-(-b // n_data) * n_data for b in self.buckets}))
         self.mesh = mesh
 
         model, init_vars = init_model(self.cfg, self.assets,
@@ -108,7 +117,7 @@ class InferenceEngine:
             self._forward = jax.jit(
                 forward, in_shardings=(None, batch_sharding(mesh)))
             n_data = mesh.shape["data"]
-            assert all(b % n_data == 0 or b < n_data for b in self.buckets), (
+            assert all(b % n_data == 0 for b in self.buckets), (
                 f"buckets {self.buckets} vs data axis {n_data}")
         else:
             self._forward = jax.jit(forward)
@@ -129,8 +138,9 @@ class InferenceEngine:
     def predict(self, images_u8: np.ndarray) -> dict:
         """images_u8: (N, H, W, 3) uint8 -> dict of numpy outputs, length N.
 
-        N is split greedily into buckets (largest first), each padded up
-        to its bucket size; every bucket shape compiles exactly once.
+        Each remaining chunk goes to the smallest bucket that covers it
+        (the largest bucket if none does), padded up to the bucket size;
+        every bucket shape compiles exactly once.
         """
         n = len(images_u8)
         outs: list[dict] = []
@@ -164,6 +174,8 @@ class BatchingServer:
 
     def submit(self, image_u8: np.ndarray) -> Future:
         """image_u8: (H, W, 3) uint8. Resolves to per-image output dict."""
+        if self._stop.is_set():
+            raise RuntimeError("server closed")
         fut: Future = Future()
         self._q.put((image_u8, fut))
         return fut
@@ -171,6 +183,15 @@ class BatchingServer:
     def close(self) -> None:
         self._stop.set()
         self._thread.join(timeout=5.0)
+        # drain: fail any request the worker never picked up so callers
+        # blocked on fut.result() don't hang forever
+        while True:
+            try:
+                _, fut = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if not fut.done():
+                fut.set_exception(RuntimeError("server closed"))
 
     def _loop(self) -> None:
         while not self._stop.is_set():

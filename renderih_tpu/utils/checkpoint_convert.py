@@ -181,16 +181,20 @@ def convert_reference_checkpoint(
     state = strip_module_prefix(state)
     state = {k: v for k, v in state.items()}
 
-    enc_params, enc_stats = _resnet(state, None, _RESNET_COUNTS[encoder])
-
-    mid_params, mid_stats = {}, {}
-    i = 0
-    while f"mid_model.convs.{i}.0.weight" in state:
-        mid_params[f"proj{i}_conv"] = _conv(state, f"mid_model.convs.{i}.0")
-        bp, bs = _bn(state, f"mid_model.convs.{i}.2")
-        mid_params[f"proj{i}_bn"] = bp
-        mid_stats[f"proj{i}_bn"] = bs
-        i += 1
+    if encoder.startswith("hrnet"):
+        hr_params, hr_stats = convert_reference_hrnet(state)
+        enc_params, enc_stats = hr_params["encoder"], hr_stats["encoder"]
+        mid_params, mid_stats = hr_params["mid"], hr_stats["mid"]
+    else:
+        enc_params, enc_stats = _resnet(state, None, _RESNET_COUNTS[encoder])
+        mid_params, mid_stats = {}, {}
+        i = 0
+        while f"mid_model.convs.{i}.0.weight" in state:
+            mid_params[f"proj{i}_conv"] = _conv(state, f"mid_model.convs.{i}.0")
+            bp, bs = _bn(state, f"mid_model.convs.{i}.2")
+            mid_params[f"proj{i}_bn"] = bp
+            mid_stats[f"proj{i}_bn"] = bs
+            i += 1
 
     dec: dict = {
         "gf_layer_left_fc": _linear(state, "decoder.gf_layer_left.0"),
@@ -228,14 +232,198 @@ def convert_reference_checkpoint(
     return params, batch_stats
 
 
-def expected_torch_keys(encoder: str = "resnet50", num_stages: int = 3,
-                        blocks_per_stage: int = 4) -> list:
-    """The reference state_dict keys this converter consumes (for tests)."""
-    keys = ["encoder.resnet.conv1.weight"]
-    for suffix in ("weight", "bias", "running_mean", "running_var"):
-        keys.append(f"encoder.resnet.bn1.{suffix}")
-    # (resnet blocks enumerated lazily by the converter itself)
-    return keys
+# --------------------------------------------------------------------------
+# HRNet: reference HighResolutionNet (head_type='none') + hrnet_mid
+# (`common/myhand/model_zoo/hrnet.py:247-608`,
+#  `common/myhand/encoder_lijun.py:216-325`) -> our HRNetEncoder/HRNetMid.
+# --------------------------------------------------------------------------
+
+def _res_block(state, prefix):
+    """Bottleneck/BasicBlock (hrnet.py:29-100 == torchvision layout)."""
+    blk, stats = {}, {}
+    for conv_i in (1, 2, 3):
+        if f"{prefix}.conv{conv_i}.weight" in state:
+            blk[f"conv{conv_i}"] = _conv(state, f"{prefix}.conv{conv_i}")
+            bp, bs = _bn(state, f"{prefix}.bn{conv_i}")
+            blk[f"bn{conv_i}"] = bp
+            stats[f"bn{conv_i}"] = bs
+    if f"{prefix}.downsample.0.weight" in state:
+        blk["downsample_conv"] = _conv(state, f"{prefix}.downsample.0")
+        bp, bs = _bn(state, f"{prefix}.downsample.1")
+        blk["downsample_bn"] = bp
+        stats["downsample_bn"] = bs
+    return blk, stats
+
+
+def _conv_bn(state, conv_key, bn_key):
+    """-> our _ConvBNRelu subtree ({conv, bn})."""
+    p = {"conv": _conv(state, conv_key)}
+    bp, bs = _bn(state, bn_key)
+    p["bn"] = bp
+    return p, {"bn": bs}
+
+
+# (num_modules, num_branches) for stages 2..4 — identical for w18..w64
+# (`hrnet.py:624-676`).
+_HRNET_STAGES = ((1, 2), (4, 3), (3, 4))
+
+
+def convert_reference_hrnet(state: dict, prefix: str = "encoder.hrnet.",
+                            mid_prefix: str = "mid_model.") -> tuple:
+    """HRNet torch state_dict -> ({encoder, mid} params, batch_stats).
+
+    `prefix` locates the HighResolutionNet subtree (the reference wraps it
+    as `HRnet_encoder.hrnet`, `encoder_lijun.py:155-159`); `mid_prefix`
+    the hrnet_mid. Blocks-per-branch is always 4 for w18..w64.
+    """
+    state = strip_module_prefix(state)
+    enc, enc_stats = {}, {}
+
+    enc["stem1"], s = _conv_bn(state, f"{prefix}conv1", f"{prefix}bn1")
+    enc_stats["stem1"] = s
+    enc["stem2"], s = _conv_bn(state, f"{prefix}conv2", f"{prefix}bn2")
+    enc_stats["stem2"] = s
+
+    for i in range(4):
+        enc[f"layer1_{i}"], s = _res_block(state, f"{prefix}layer1.{i}")
+        enc_stats[f"layer1_{i}"] = s
+
+    # transition1: [0] = Sequential(conv,bn,relu); [1] wraps the conv3x3s
+    # chain in an extra Sequential (`hrnet.py:410-444`)
+    enc["trans1_0"], s = _conv_bn(
+        state, f"{prefix}transition1.0.0", f"{prefix}transition1.0.1")
+    enc_stats["trans1_0"] = s
+    enc["trans1_1"], s = _conv_bn(
+        state, f"{prefix}transition1.1.0.0", f"{prefix}transition1.1.0.1")
+    enc_stats["trans1_1"] = s
+
+    for si, (num_modules, num_branches) in enumerate(_HRNET_STAGES):
+        stage = si + 2
+        for m in range(num_modules):
+            sp = f"{prefix}stage{stage}.{m}"
+            mod, mod_stats = {}, {}
+            for b in range(num_branches):
+                for k in range(4):
+                    blk, s = _res_block(state, f"{sp}.branches.{b}.{k}")
+                    mod[f"branch{b}_block{k}"] = blk
+                    mod_stats[f"branch{b}_block{k}"] = s
+            for i in range(num_branches):
+                for j in range(num_branches):
+                    if j == i:
+                        continue
+                    fp = f"{sp}.fuse_layers.{i}.{j}"
+                    if j > i:  # 1x1 conv + bn + upsample
+                        mod[f"fuse{j}to{i}_conv"] = _conv(state, f"{fp}.0")
+                        bp, bs = _bn(state, f"{fp}.1")
+                        mod[f"fuse{j}to{i}_bn"] = bp
+                        mod_stats[f"fuse{j}to{i}_bn"] = bs
+                    else:  # chain of stride-2 3x3 convs
+                        for k in range(i - j):
+                            mod[f"fuse{j}to{i}_conv{k}"] = _conv(
+                                state, f"{fp}.{k}.0")
+                            bp, bs = _bn(state, f"{fp}.{k}.1")
+                            mod[f"fuse{j}to{i}_bn{k}"] = bp
+                            mod_stats[f"fuse{j}to{i}_bn{k}"] = bs
+            enc[f"stage{stage}_m{m}"] = mod
+            enc_stats[f"stage{stage}_m{m}"] = mod_stats
+        if num_branches < 4:
+            # new branch: reference transition{stage}.{num_branches}.0.*
+            enc[f"trans{stage}_{num_branches}"], s = _conv_bn(
+                state,
+                f"{prefix}transition{stage}.{num_branches}.0.0",
+                f"{prefix}transition{stage}.{num_branches}.0.1")
+            enc_stats[f"trans{stage}_{num_branches}"] = s
+
+    mid, mid_stats = {}, {}
+    i = 0
+    while f"{mid_prefix}convs.{i}.0.weight" in state:
+        mid[f"proj{i}_conv"] = _conv(state, f"{mid_prefix}convs.{i}.0")
+        bp, bs = _bn(state, f"{mid_prefix}convs.{i}.2")
+        mid[f"proj{i}_bn"] = bp
+        mid_stats[f"proj{i}_bn"] = bs
+        i += 1
+    for i in range(4):
+        mid[f"incre{i}"], s = _res_block(
+            state, f"{mid_prefix}incre_modules.{i}.0")
+        mid_stats[f"incre{i}"] = s
+    for i in range(3):
+        mid[f"down{i}_conv"] = _conv(
+            state, f"{mid_prefix}downsamp_modules.{i}.0")
+        bp, bs = _bn(state, f"{mid_prefix}downsamp_modules.{i}.1")
+        mid[f"down{i}_bn"] = bp
+        mid_stats[f"down{i}_bn"] = bs
+    mid["final_conv"] = _conv(state, f"{mid_prefix}final_layer.0")
+    bp, bs = _bn(state, f"{mid_prefix}final_layer.1")
+    mid["final_bn"] = bp
+    mid_stats["final_bn"] = bs
+
+    return ({"encoder": enc, "mid": mid},
+            {"encoder": enc_stats, "mid": mid_stats})
+
+
+# --------------------------------------------------------------------------
+# ViTPose: reference ViT fork (`models/vitpose/vitpose.py:296-455`) and
+# its two-hand wrapper (`common/myhand/lijun_vitpose.py:17-37`) -> our
+# ViTEncoder. Also accepts the released `pretrain/vitpose-{b,l}.pth`
+# backbone checkpoints (same `patch_embed/blocks/last_norm` layout).
+# --------------------------------------------------------------------------
+
+_VIT_DEPTHS = {"vit_base": 12, "vit_large": 24}
+
+
+def convert_vitpose_backbone(state: dict, model_type: str = "vit_base",
+                             prefix: str = "") -> dict:
+    """ViT backbone state_dict -> our ViTEncoder trunk params.
+
+    Handles both the bare `vitpose-{b,l}.pth` layout (keys like
+    `patch_embed.proj.weight`, possibly under a `backbone.` prefix as
+    mmpose saves them) and the wrapper's `encoder.` prefix. The
+    checkpoint's `pos_embed`/`cls_token` (if present) are intentionally
+    dropped: the reference fork sets `pos_embed = None` and never adds it
+    in forward (`vitpose.py:326,415-420`), so runtime parity requires
+    discarding it too.
+    """
+    state = strip_module_prefix(state)
+    if not prefix:
+        for cand in ("backbone.", "encoder.", ""):
+            if f"{cand}patch_embed.proj.weight" in state:
+                prefix = cand
+                break
+    depth = _VIT_DEPTHS[model_type]
+
+    params = {"patch_embed": {"proj": _conv(state, f"{prefix}patch_embed.proj")}}
+    for i in range(depth):
+        bp = f"{prefix}blocks.{i}"
+        params[f"block_{i}"] = {
+            "norm1": _ln(state, f"{bp}.norm1"),
+            "qkv": _linear(state, f"{bp}.attn.qkv"),
+            "proj": _linear(state, f"{bp}.attn.proj"),
+            "norm2": _ln(state, f"{bp}.norm2"),
+            "mlp_fc1": _linear(state, f"{bp}.mlp.fc1"),
+            "mlp_fc2": _linear(state, f"{bp}.mlp.fc2"),
+        }
+    params["last_norm"] = _ln(state, f"{prefix}last_norm")
+    return params
+
+
+def convert_vit_wrapper(state: dict, model_type: str = "vit_base") -> dict:
+    """Full ViT-variant model (`lijun_vitpose.HandNET_GCN`) encoder side:
+    backbone + 8-stride patch embed + conv1 + Myattention downsample ->
+    our ViTEncoder params (the `vit.py` pyramid)."""
+    state = strip_module_prefix(state)
+    enc = convert_vitpose_backbone(state, model_type, prefix="encoder.")
+    enc["patch_embed8"] = {"proj": _conv(state, "patch_embed.proj")}
+    enc["conv1"] = _conv(state, "conv1")
+    enc["downsample"] = {
+        "fc0": _linear(state, "downsample.fc0"),
+        "sr": _conv(state, "downsample.sr"),
+        "norm": _ln(state, "downsample.norm"),
+        "q": _linear(state, "downsample.q"),
+        "kv": _linear(state, "downsample.kv"),
+        "linear1": _linear(state, "downsample.linear1"),
+        "linear2": _linear(state, "downsample.linear2"),
+    }
+    return enc
 
 
 # --------------------------------------------------------------------------

@@ -58,6 +58,48 @@ def test_predict_padding_independence(engine):
         out2["verts3d_left"], out4["verts3d_left"][:2], atol=2e-5)
 
 
+def test_mesh_buckets_rounded_and_predict_matches(engine):
+    """Sharded path: buckets round up to multiples of the data axis, and
+    a request smaller than the axis (n=1) pads + runs without error."""
+    from renderih_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(data=8, model=1)
+    sharded = InferenceEngine(engine.cfg, assets=engine.assets,
+                              variables=engine.variables,
+                              buckets=(1, 4, 8), mesh=mesh)
+    assert sharded.buckets == (8,)
+    for n in (1, 3, 9):
+        out = sharded.predict(_images(n, seed=4))
+        ref = engine.predict(_images(n, seed=4))
+        assert out["verts3d_left"].shape == (n, 778, 3)
+        np.testing.assert_allclose(
+            out["verts3d_left"], ref["verts3d_left"], atol=2e-5)
+
+
+def test_close_drains_pending_and_rejects_submit(engine):
+    server = BatchingServer(engine, max_batch=4, max_wait_ms=50.0)
+    server._stop.set()  # freeze the worker loop
+    server._thread.join(timeout=10.0)
+    import concurrent.futures as cf
+
+    pending = cf.Future()
+    server._q.put((_images(1)[0], pending))
+    server.close()
+    with pytest.raises(RuntimeError, match="server closed"):
+        pending.result(timeout=1)
+    with pytest.raises(RuntimeError, match="server closed"):
+        server.submit(_images(1)[0])
+
+
+def test_engine_does_not_mutate_caller_config(engine):
+    cfg = Config(model=ModelConfig(encoder="resnet18"),
+                 train=TrainConfig(precision="f32"))
+    assert cfg.model.decoder_f32
+    InferenceEngine(cfg, assets=engine.assets, variables=engine.variables,
+                    buckets=(1,), decoder_bf16=True)
+    assert cfg.model.decoder_f32  # caller's cfg untouched
+
+
 def test_batching_server_concurrent(engine):
     server = BatchingServer(engine, max_batch=4, max_wait_ms=50.0)
     try:
