@@ -91,6 +91,10 @@ class TrainConfig:
     precision: str = "bf16"
     # ZeRO-1: shard optimizer state over the data axis.
     zero1: bool = True
+    # Rematerialize encoder residual blocks in the backward pass
+    # (memory-for-FLOPs; measured SLOWER at the flagship batch sizes
+    # where memory is not binding — A/B knob, off by default).
+    remat_encoder: bool = False
     # Skip (don't apply) any update whose loss is non-finite instead of
     # poisoning params/optimizer/BN state; reported per step as
     # `skipped_nonfinite`.

@@ -31,7 +31,8 @@ class HandNet(nn.Module):
     def setup(self):
         m = self.cfg.model
         if m.encoder.startswith("resnet"):
-            self.encoder = ResNet(model_type=m.encoder, dtype=self.dtype)
+            self.encoder = ResNet(model_type=m.encoder, dtype=self.dtype,
+                                  remat=self.cfg.train.remat_encoder)
             self.mid = ResNetMid(out_dims=tuple(m.deconv_dims), dtype=self.dtype)
         elif m.encoder.startswith("vit"):
             from renderih_tpu.models.vit import ViTEncoder, ViTMid

@@ -90,6 +90,7 @@ class ResNet(nn.Module):
 
     model_type: str = "resnet50"
     dtype: Any = jnp.float32
+    remat: bool = False
 
     @property
     def expansion(self) -> int:
@@ -104,6 +105,11 @@ class ResNet(nn.Module):
     def __call__(self, x, train: bool = False):
         block_kind, counts = _STAGES[self.model_type]
         block_cls = Bottleneck if block_kind == "bottleneck" else BasicBlock
+        if self.remat:
+            # rematerialize each residual block in the backward pass:
+            # trades ~1.33x conv FLOPs for activation memory (A/B knob,
+            # tools/bench_train_profile.py BENCH_REMAT=1)
+            block_cls = nn.remat(block_cls, static_argnums=(2,))
 
         h = nn.Conv(64, (7, 7), (2, 2), padding=3, use_bias=False,
                     dtype=self.dtype, name="conv1")(x)

@@ -149,6 +149,13 @@ class HandVars(NamedTuple):
     root_aa: jax.Array  # (3,)
 
 
+# (repulsion_mult, contact_mult, n_iter) per attempt; anchors re-searched
+# fresh before attempts 0 and 3, hysteresis-rechecked before 1 and 2
+# (`batch_optimize_mocap_origin.py:460-506`).
+REFERENCE_SCHEDULE = ((1.0, 1.0, 50), (0.1, 15.0, 40),
+                      (30.0, 0.1, 75), (1.0, 5.0, 50))
+
+
 def optimize_two_hands(
     assets: Assets,
     left: HandVars,
@@ -158,12 +165,23 @@ def optimize_two_hands(
     weights: GeoWeights = GeoWeights(),
     sdf_grid_size: int = 24,
     pose_prior_fn=None,
+    anchors=None,
+    schedule=None,
 ):
     """Jointly refine both hands. Returns (left', right', final_losses).
 
     `pose_prior_fn`: optional differentiable naturalness energy
     `(45,) axis-angle -> scalar`, weighted by `weights.prior` (see
-    `make_gaussian_pose_prior`)."""
+    `make_gaussian_pose_prior`).
+
+    `anchors`: optional (AnchorSpec_left, AnchorSpec_right) — switches the
+    contact term to the reference's anchor-based contact search
+    (`optimize/anchors.py`): right hand is the main hand, left the sub
+    hand, matched by normal-gated 4-NN with cosine elasticity. With
+    `schedule` (default REFERENCE_SCHEDULE when anchors are given), runs
+    the reference's 4-attempt coefficient schedule with fresh anchor
+    re-search before attempts 0/3 and hysteresis re-matching before 1/2.
+    """
     faces_l = assets.left.mano.faces
     faces_r = assets.right.mano.faces
 
@@ -186,19 +204,46 @@ def optimize_two_hands(
 
     ref_edge_l = edge_len(v_l0, faces_l)
     ref_edge_r = edge_len(v_r0, faces_r)
-    # anchors fixed from the initial configuration (reference searches
-    # anchors once, then optimizes)
+    # vertex-pair fallback contact, fixed from the initial configuration
     idx_lr, w_lr = anchor_pairs(v_l0, v_r0, thresh=0.01)
+
+    if anchors is not None:
+        from renderih_tpu.optimize.anchors import (
+            anchor_contact_loss,
+            anchor_normals,
+            recover_anchors,
+            search_anchor_pairs,
+        )
+
+        spec_l, spec_r = anchors
+
+        def match_fn(params, prev=None):
+            l, r = params
+            v_l, _ = fwd(assets.left.mano, l)
+            v_r, _ = fwd(assets.right.mano, r)
+            return search_anchor_pairs(
+                recover_anchors(v_r, spec_r),            # main = right
+                recover_anchors(v_l, spec_l),            # sub = left
+                anchor_normals(v_r, spec_r),
+                anchor_normals(v_l, spec_l, flip=True),
+                prev=prev,
+            )
+    else:
+        match_fn = None
 
     init = (left, right)
 
-    def loss_fn(params):
+    def loss_fn(params, match=None, contact_mult=1.0, repulsion_mult=1.0):
         l, r = params
         v_l, _ = fwd(assets.left.mano, l)
         v_r, _ = fwd(assets.right.mano, r)
 
+        if match is not None:
+            contact = anchor_contact_loss(v_r, v_l, spec_r, spec_l, match)
+        else:
+            contact = contact_loss(v_l, v_r, idx_lr, w_lr)
         terms = {
-            "contact": contact_loss(v_l, v_r, idx_lr, w_lr),
+            "contact": contact,
             "repulsion": repulsion_loss(v_l, faces_l, v_r)
             + repulsion_loss(v_r, faces_r, v_l),
             "sdf": sdf_penetration_loss(
@@ -219,8 +264,8 @@ def optimize_two_hands(
         if pose_prior_fn is not None:
             terms["prior"] = pose_prior_fn(l.pose) + pose_prior_fn(r.pose)
         total = (
-            weights.contact * terms["contact"]
-            + weights.repulsion * terms["repulsion"]
+            weights.contact * contact_mult * terms["contact"]
+            + weights.repulsion * repulsion_mult * terms["repulsion"]
             + weights.sdf * terms["sdf"]
             + weights.edge * terms["edge"]
             + weights.pose_reg * terms["pose_reg"]
@@ -247,5 +292,43 @@ def optimize_two_hands(
         _, terms = loss_fn(params)
         return params, terms
 
-    (left_out, right_out), terms = run(init)
+    if match_fn is None:
+        (left_out, right_out), terms = run(init)
+        return left_out, right_out, terms
+
+    # anchor mode: 4-attempt coefficient schedule; n_iter/multipliers are
+    # traced scalars so the whole schedule reuses ONE compiled step loop
+    @jax.jit
+    def run_anchored(params, match, contact_mult, repulsion_mult, iters):
+        opt_state = tx.init(params)
+
+        def body(_, carry):
+            params, opt_state = carry
+            (_, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, match, contact_mult, repulsion_mult)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state
+
+        params, _ = jax.lax.fori_loop(0, iters, body, (params, opt_state))
+        _, terms = loss_fn(params, match, contact_mult, repulsion_mult)
+        return params, terms
+
+    match_fresh = jax.jit(match_fn)
+    match_prev = jax.jit(lambda p, prev: match_fn(p, prev))
+
+    params = init
+    match = None
+    terms = None
+    sched = schedule if schedule is not None else REFERENCE_SCHEDULE
+    for attempt, (rep_mult, con_mult, iters) in enumerate(sched):
+        if attempt in (0, 3) or match is None:
+            match = match_fresh(params)
+        else:
+            match = match_prev(params, match)
+        params, terms = run_anchored(
+            params, match,
+            jnp.asarray(con_mult, jnp.float32),
+            jnp.asarray(rep_mult, jnp.float32),
+            jnp.asarray(iters, jnp.int32))
+    left_out, right_out = params
     return left_out, right_out, terms

@@ -1,18 +1,29 @@
-"""Procedural random backgrounds for synthetic data generation.
+"""Random backgrounds for synthetic data generation.
 
 The reference's Blender pipeline composites rendered hands over random
 background *images* and randomizes materials/lighting
-(`rendering_code/step4_load_mano_diffbg.py`, `steps.md` step 4). We have
-no image corpus in-framework, so this module synthesizes varied
-backgrounds on-device instead: multi-octave value noise (cheap
-Perlin-style texture via upsampled random grids), linear gradients, and
-solid colors, mixed per sample. Everything is jittable and batched.
+(`rendering_code/step4_load_mano_diffbg.py`, `steps.md` step 4). Two
+modes here:
+
+  * `BackgroundCorpus` — a directory of real images, preloaded to a
+    device-resident (N, S, S, 3) stack; sampling gathers random images
+    with on-device flip/color jitter. This matches the reference's
+    corpus randomization when the user supplies images
+    (`tools/synth_gen.py --backgrounds DIR`).
+  * procedural fallback (`random_background` without a corpus):
+    multi-octave value noise, linear gradients, and solid colors, mixed
+    per sample — used when no corpus is available (e.g. CI).
+
+Everything after loading is jittable and batched.
 """
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def _value_noise(key: jax.Array, bs: int, size: int,
@@ -51,12 +62,65 @@ def _gradient(key: jax.Array, bs: int, size: int) -> jax.Array:
     return c0 + (c1 - c0) * t[..., None]
 
 
-def random_background(key: jax.Array, bs: int, size: int) -> jax.Array:
+class BackgroundCorpus:
+    """Directory of background images -> device-resident sampler.
+
+    Images are center-cropped to square and resized to `size` at load
+    time (cv2, host-side, once); `sample` is pure-jax: random image pick
+    + random horizontal flip + brightness jitter per sample.
+    """
+
+    EXTS = (".jpg", ".jpeg", ".png", ".bmp")
+
+    def __init__(self, directory: str, size: int = 256, limit: int = 4096):
+        import cv2
+
+        paths = sorted(
+            os.path.join(directory, f) for f in os.listdir(directory)
+            if f.lower().endswith(self.EXTS))[:limit]
+        if not paths:
+            raise ValueError(f"no background images in {directory}")
+        imgs = []
+        for p in paths:
+            img = cv2.imread(p, cv2.IMREAD_COLOR)
+            if img is None:
+                continue
+            h, w = img.shape[:2]
+            s = min(h, w)
+            y0, x0 = (h - s) // 2, (w - s) // 2
+            img = cv2.resize(img[y0:y0 + s, x0:x0 + s],
+                             (size, size), interpolation=cv2.INTER_AREA)
+            imgs.append(img[..., ::-1])  # BGR -> RGB
+        if not imgs:
+            raise ValueError(f"no readable background images in {directory}")
+        self.size = size
+        self.images = jnp.asarray(
+            np.stack(imgs).astype(np.float32) / 255.0)  # (N, S, S, 3)
+
+    def sample(self, key: jax.Array, bs: int) -> jax.Array:
+        """(bs, size, size, 3) in [0, 1], randomized per sample."""
+        k_idx, k_flip, k_gain = jax.random.split(key, 3)
+        idx = jax.random.randint(k_idx, (bs,), 0, self.images.shape[0])
+        imgs = self.images[idx]
+        flip = jax.random.bernoulli(k_flip, 0.5, (bs,))
+        imgs = jnp.where(flip[:, None, None, None], imgs[:, :, ::-1], imgs)
+        gain = jax.random.uniform(k_gain, (bs, 1, 1, 1),
+                                  minval=0.7, maxval=1.2)
+        return jnp.clip(imgs * gain, 0.0, 1.0)
+
+
+def random_background(key: jax.Array, bs: int, size: int,
+                      corpus: BackgroundCorpus | None = None) -> jax.Array:
     """Batched random background in [0, 1], shape (bs, size, size, 3).
 
-    Per sample, randomly one of: solid color, linear gradient, value-noise
-    texture, or gradient x texture blend.
+    With `corpus`, samples augmented real images (the reference's
+    Blender-pipeline behavior); otherwise per sample randomly one of:
+    solid color, linear gradient, value-noise texture, or
+    gradient x texture blend.
     """
+    if corpus is not None:
+        assert corpus.size == size, (corpus.size, size)
+        return corpus.sample(key, bs)
     k_kind, k_solid, k_grad, k_noise, k_tint = jax.random.split(key, 5)
     solid = jnp.broadcast_to(
         jax.random.uniform(k_solid, (bs, 1, 1, 3)), (bs, size, size, 3))

@@ -13,6 +13,38 @@ from renderih_tpu.render.backgrounds import (
 )
 
 
+def test_background_corpus_samples_real_images(tmp_path):
+    """--backgrounds path: corpus loads a directory of images and sampling
+    returns augmented (flip/gain) variants of them."""
+    import cv2
+
+    from renderih_tpu.render.backgrounds import BackgroundCorpus
+
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        img = rng.integers(0, 255, (40 + 10 * i, 70, 3), np.uint8)
+        cv2.imwrite(str(tmp_path / f"bg{i}.png"), img)
+    corpus = BackgroundCorpus(str(tmp_path), size=32)
+    assert corpus.images.shape == (3, 32, 32, 3)
+
+    bg = jax.jit(lambda k: random_background(
+        k, 8, 32, corpus=corpus))(jax.random.PRNGKey(1))
+    b = np.asarray(bg)
+    assert b.shape == (8, 32, 32, 3)
+    assert b.min() >= 0.0 and b.max() <= 1.0 + 1e-6
+    # each sample matches one corpus image up to flip + gain: check
+    # correlation against the best corpus candidate
+    imgs = np.asarray(corpus.images)
+    cands = np.concatenate([imgs, imgs[:, :, ::-1]], axis=0)  # + flips
+    for s in b:
+        ratios = []
+        for c in cands:
+            denom = np.maximum(c, 1e-3)
+            r = s / denom
+            ratios.append(np.std(r[c > 0.05]))
+        assert min(ratios) < 0.05  # near-constant gain vs one candidate
+
+
 def test_random_background_shape_range():
     bg = jax.jit(lambda k: random_background(k, 4, 64))(jax.random.PRNGKey(0))
     b = np.asarray(bg)

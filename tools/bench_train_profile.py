@@ -56,6 +56,8 @@ def main():
     cfg = Config()
     b = int(os.environ.get("BENCH_BATCH", "128"))
     cfg.train.batch_size = b
+    if os.environ.get("BENCH_REMAT"):  # A/B: remat encoder blocks
+        cfg.train.remat_encoder = True
     assets = make_synthetic_assets(seed=0)
     model, variables = init_model(cfg, assets, jax.random.PRNGKey(0))
     kw = model_call_kwargs(cfg, assets)

@@ -38,6 +38,10 @@ def main():
     p.add_argument("--graph-right", default=None)
     p.add_argument("--upsample", default=None)
     p.add_argument("--dense-color", default=None)
+    p.add_argument("--anchor-dir", default=None,
+                   help="reference pose_data_optimize/assets/anchor dir "
+                        "(face_vertex_idx/anchor_weight/"
+                        "merged_vertex_assignment txt files)")
     p.add_argument("--out", required=True)
     args = p.parse_args()
 
@@ -71,6 +75,16 @@ def main():
         np.savez(os.path.join(args.out, "dense_color.npz"),
                  color=np.asarray(c, np.float32))
         print("converted dense color", np.asarray(c).shape)
+
+    if args.anchor_dir:
+        from renderih_tpu.optimize.anchors import load_anchor_txt
+
+        spec = load_anchor_txt(args.anchor_dir)
+        np.savez(os.path.join(args.out, "anchors.npz"),
+                 tri_idx=np.asarray(spec.tri_idx),
+                 weights=np.asarray(spec.weights),
+                 classes=np.asarray(spec.classes))
+        print("converted anchors", np.asarray(spec.tri_idx).shape)
 
     print(f"assets written to {args.out}")
 

@@ -42,6 +42,10 @@ def main():
     p.add_argument("--opt_iters", type=int, default=60,
                    help="Adam iterations per sample for --optimize")
     p.add_argument("--batch", type=int, default=32)
+    p.add_argument("--backgrounds", default=None,
+                   help="directory of background images to composite over "
+                        "(reference Blender-pipeline behavior); procedural "
+                        "backgrounds when omitted")
     args = p.parse_args()
 
     import jax
@@ -54,6 +58,7 @@ def main():
     from renderih_tpu.ops.projection import orthographic_project
     from renderih_tpu.ops.rotation import rodrigues
     from renderih_tpu.render.backgrounds import (
+        BackgroundCorpus,
         random_background,
         random_lighting,
         random_skin_albedo,
@@ -63,6 +68,10 @@ def main():
     cfg = Config()
     assets = load_assets(cfg.assets)
     renderer = TwoHandRenderer(assets, IMG_SIZE)
+    corpus = (BackgroundCorpus(args.backgrounds, IMG_SIZE)
+              if args.backgrounds else None)
+    if corpus is not None:
+        print(f"background corpus: {corpus.images.shape[0]} images")
 
     n = args.n
     os.makedirs(args.out, exist_ok=True)
@@ -125,7 +134,7 @@ def main():
             {"left": trans_l, "right": trans_r}, v_l, v_r,
             albedo=albedo, light_dir=light_dir, light_color=light_color,
             ambient=ambient, specular=0.15)
-        bg = random_background(ks[2], bs, IMG_SIZE)
+        bg = random_background(ks[2], bs, IMG_SIZE, corpus=corpus)
         noise = jax.random.normal(ks[3], rgb.shape) * 0.02
         img = jnp.clip(
             jnp.where(mask[..., None] > 0, rgb, bg) + noise, 0, 1)
@@ -147,6 +156,7 @@ def main():
         # contact/SDF refinement (reference `pose_data_optimize` step),
         # with the Gaussian naturalness prior fitted to the sampling
         # distribution (stand-in for the reference's GAN discriminator)
+        from renderih_tpu.optimize.anchors import make_synthetic_anchors
         from renderih_tpu.optimize.geo import (
             GeoWeights,
             HandVars,
@@ -156,6 +166,13 @@ def main():
 
         prior = make_gaussian_pose_prior(
             jax.random.normal(jax.random.PRNGKey(1234), (256, 45)) * 0.4)
+        # anchor-based contact search (reference `search_anchors`)
+        anchor_specs = (
+            make_synthetic_anchors(np.asarray(assets.left.mano.faces),
+                                   np.asarray(assets.left.mano.v_template)),
+            make_synthetic_anchors(np.asarray(assets.right.mano.faces),
+                                   np.asarray(assets.right.mano.v_template)),
+        )
 
         def root_joint(model, root_aa, pose, shape):
             _, j = mano_forward(model, rodrigues(root_aa[None]), pose[None],
@@ -176,10 +193,13 @@ def main():
                             trans=-j9_l, root_aa=r["root_l"])
             right = HandVars(pose=r["pose_r"], shape=r["shape_r"],
                              trans=-j9_r + r["offset"], root_aa=r["root_r"])
+            iters = max(args.opt_iters // 4, 1)
+            sched = ((1.0, 1.0, iters), (0.1, 15.0, iters),
+                     (30.0, 0.1, iters), (1.0, 5.0, iters))
             l2, r2, _ = optimize_two_hands(
                 assets, left, right, n_iter=args.opt_iters,
                 sdf_grid_size=16, weights=GeoWeights(),
-                pose_prior_fn=prior)
+                pose_prior_fn=prior, anchors=anchor_specs, schedule=sched)
             j9_l2 = root_joint(assets.left.mano, l2.root_aa, l2.pose, l2.shape)
             j9_r2 = root_joint(assets.right.mano, r2.root_aa, r2.pose, r2.shape)
             upd = dict(
