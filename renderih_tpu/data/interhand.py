@@ -98,9 +98,29 @@ def load_reference_sample(data_path: str, split: str, idx: int):
 
 
 def pack_reference_dataset(data_path: str, split: str, out_dir: str,
-                           limit: int | None = None) -> int:
-    """Convert the reference per-file layout into packed arrays."""
+                           limit: int | None = None,
+                           mano_left: str | None = None,
+                           mano_right: str | None = None) -> int:
+    """Convert the reference per-file layout into packed arrays.
+
+    The reference's `ori_handdict` stores the hand pose as 45 PCA
+    coefficients plus a separate root rotation matrix `R`
+    (`utils/dataset_gen/interhand.py:164-175`); its Dataset rebuilds a
+    48-vector [rodrigues(R), pca45] at read time
+    (`dataset/interhand.py:261-267`). Our packed `pose_*` convention is
+    the *evaluated* axis-angle [root_aa, pca45 @ hands_components +
+    hands_mean], so converting pose labels requires the MANO npz assets
+    (`mano_left`/`mano_right`); without them pose/shape stay zero-filled
+    (geometry labels are unaffected).
+    """
     from glob import glob
+
+    mano = None
+    if mano_left and mano_right:
+        from renderih_tpu.mano.params import load_mano_npz
+
+        mano = {"left": load_mano_npz(mano_left, is_right=False),
+                "right": load_mano_npz(mano_right, is_right=True)}
 
     os.makedirs(out_dir, exist_ok=True)
     n = len(glob(os.path.join(data_path, split, "anno", "*.pkl")))
@@ -126,9 +146,19 @@ def pack_reference_dataset(data_path: str, split: str, out_dir: str,
             labels[f"j3d_{hand}"][i] = hd[hand]["joints3d"]
             labels[f"v2d_{hand}"][i] = hd[hand]["verts2d"]
             labels[f"j2d_{hand}"][i] = hd[hand]["joints2d"]
-            if "pose" in hd[hand]:
-                labels[f"pose_{hand}"][i] = hd[hand]["pose"]
-                labels[f"shape_{hand}"][i] = hd[hand]["shape"]
+            if mano is not None and "pose" in hd[hand]:
+                import cv2 as cv
+
+                root_aa = cv.Rodrigues(
+                    np.asarray(hd[hand]["R"], np.float64).reshape(3, 3)
+                )[0].reshape(3)
+                pca = np.asarray(hd[hand]["pose"], np.float64).reshape(45)
+                m = mano[hand]
+                axis = pca @ np.asarray(m.hands_components, np.float64) \
+                    + np.asarray(m.hands_mean, np.float64)
+                labels[f"pose_{hand}"][i] = np.concatenate([root_aa, axis])
+                labels[f"shape_{hand}"][i] = np.asarray(
+                    hd[hand]["shape"], np.float32).reshape(10)
     images.flush()
     np.savez(os.path.join(out_dir, f"{split}_labels.npz"), **labels)
     return n

@@ -20,6 +20,12 @@ import jax  # noqa: E402  (import after env setup)
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
+# Persistent compilation cache: the big SPMD train-step tests take minutes
+# to compile cold on this one-core host; cache them across runs like every
+# other entry point does.
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_CACHE_DIR", "/root/.jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 assert jax.devices()[0].platform == "cpu", jax.devices()
 assert len(jax.devices()) == 8, jax.devices()

@@ -36,6 +36,8 @@ def main():
     cfg.train.batch_size = b
     if os.environ.get("BENCH_NAN_GUARD", "") == "0":  # A/B knob
         cfg.train.nan_guard = False
+    if os.environ.get("BENCH_REMAT"):  # A/B knob: remat encoder blocks
+        cfg.train.remat_encoder = True
     assets = make_synthetic_assets(seed=0)
     model, variables = init_model(cfg, assets, jax.random.PRNGKey(0))
     state = create_train_state(cfg, variables, steps_per_epoch=100)

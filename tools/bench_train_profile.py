@@ -121,6 +121,55 @@ def main():
     t_gf = timeit(chain_grad(loss_full), img)
     print(f"bs={b} grad(full loss)     : {t_gf*1e3:7.2f} ms", flush=True)
 
+    if os.environ.get("BENCH_PARTS"):
+        # Localize the backward: encoder(+mid) alone vs decoder alone.
+        from renderih_tpu.models.resnet import ResNet
+
+        enc = ResNet(model_type=cfg.model.encoder,
+                     dtype=jnp.bfloat16 if cfg.train.precision == "bf16"
+                     else jnp.float32)
+        ev = enc.init(jax.random.PRNGKey(0), batch["img"], train=False)
+
+        def enc_loss(p, bs_, img):
+            fmaps, mut = enc.apply(
+                {"params": p, "batch_stats": bs_}, img, train=True,
+                mutable=["batch_stats"])
+            return sum(jnp.mean(f.astype(jnp.float32) ** 2) for f in fmaps)
+
+        def chain_grad_enc(img):
+            v, g = jax.value_and_grad(enc_loss)(
+                ev["params"], ev.get("batch_stats", {}), img)
+            gsum = sum(jnp.sum(l.astype(jnp.float32))
+                       for l in jax.tree_util.tree_leaves(g))
+            return img + (v * 1e-12 + gsum * 1e-12).astype(img.dtype)
+
+        t_enc_f = timeit(jax.jit(lambda img: img + 1e-12 * sum(
+            jnp.mean(f.astype(jnp.float32) ** 2) for f in enc.apply(
+                ev, img, train=False)).astype(img.dtype)), img)
+        t_enc = timeit(jax.jit(chain_grad_enc), img)
+        print(f"bs={b} encoder fwd         : {t_enc_f*1e3:7.2f} ms")
+        print(f"bs={b} encoder fwd+bwd     : {t_enc*1e3:7.2f} ms "
+              f"(ratio {t_enc/t_enc_f:4.2f})", flush=True)
+
+    if os.environ.get("BENCH_COST"):
+        # XLA cost analysis: compare achieved TFLOP/s of the forward-only
+        # program vs the grad program. If the ratios match, the backward
+        # runs at the forward's (conv-ceiling) efficiency and there is no
+        # backward-specific inefficiency to chase.
+        def flops_of(fn):
+            c = jax.jit(fn).lower(img).compile()
+            ca = c.cost_analysis()
+            ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+            return float(ca.get("flops", 0.0))
+        f_fwd = flops_of(chain(loss_full))
+        f_gf = flops_of(chain_grad(loss_full))
+        print(f"XLA flops  fwd+loss      : {f_fwd/1e12:7.3f} TF "
+              f"({f_fwd/t_fwd/1e12:6.2f} TF/s)")
+        print(f"XLA flops  grad(full)    : {f_gf/1e12:7.3f} TF "
+              f"({f_gf/t_gf/1e12:6.2f} TF/s)")
+        print(f"flops ratio grad/fwd     : {f_gf/f_fwd:7.2f}  "
+              f"time ratio: {t_gf/t_fwd:7.2f}")
+
     state = create_train_state(cfg, variables, steps_per_epoch=100)
     step, _ = make_train_step(cfg, model, assets, steps_per_epoch=100,
                               params_template=variables["params"])

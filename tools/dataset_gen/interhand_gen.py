@@ -6,8 +6,9 @@ Faithful port of the reference two-pass generator
 directly to the packed format `renderih_tpu.data.interhand` consumes:
 
   pass (reference 1+2): read the official JSONs
-  (InterHand2.6M_{split}_data.json / _camera.json / _joint_3d.json /
-  _MANO_NeuralAnnot.json), keep `interacting` frames with both-hand MANO
+  (InterHand2.6M_{split}_data.json / _camera.json / _MANO_NeuralAnnot.json;
+  _joint_3d.json is not needed — joints come from the MANO fits, as in the
+  reference's `load_mano`), keep `interacting` frames with both-hand MANO
   fits, run MANO to get verts, world->cam transform, project, crop to
   256^2 with `cut_img` (bbox ratio 0.8), and store images + per-hand
   verts3d/joints3d/verts2d/joints2d/pose/shape.
@@ -77,7 +78,7 @@ def run_mano_np(mano_npz, pose48, shape10, trans3):
     return np.asarray(v[0]), np.asarray(j[0])
 
 
-def main():
+def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--data", required=True, help="official InterHand2.6M root")
     p.add_argument("--split", default="train")
@@ -90,7 +91,7 @@ def main():
                    help="which frames to pack; 'right'/'left' packs "
                         "single-hand frames with the absent hand zeroed "
                         "(reference `utils/interhand_single.py`)")
-    args = p.parse_args()
+    args = p.parse_args(argv)
 
     import cv2 as cv
 
@@ -161,6 +162,15 @@ def main():
             pose = np.asarray(mp["pose"], np.float64)
             shape = np.asarray(mp["shape"], np.float64)
             trans = np.asarray(mp["trans"], np.float64)
+            # The NeuralAnnot hand pose excludes the flat-hand mean; the
+            # reference folds it back in via its full-rank axis2pca ->
+            # pca2axis round trip (`utils/dataset_gen/interhand.py:164-167`
+            # with `models/manolayer.py:163-181`), i.e. it evaluates MANO at
+            # annot45 + hands_mean (official smplx flat_hand_mean=False
+            # semantics). Fold it here and store the folded pose so the
+            # packed `pose_*` labels are the actual evaluated rotations.
+            pose = np.concatenate(
+                [pose[:3], pose[3:48] + np.asarray(mano[hand].hands_mean)])
             v_w, j_w = run_mano_np(mano[hand], pose, shape, trans)
             v_c = world_to_cam(v_w, camrot, campos)
             j_c = world_to_cam(j_w, camrot, campos)

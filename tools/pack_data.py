@@ -24,8 +24,14 @@ def main():
     p.add_argument("--split", default="train")
     p.add_argument("--out", required=True)
     p.add_argument("--limit", type=int, default=None)
+    p.add_argument("--mano-left", default=None,
+                   help="MANO npz; needed to convert the reference's "
+                        "PCA pose labels (else pose/shape stay zero)")
+    p.add_argument("--mano-right", default=None)
     args = p.parse_args()
-    n = pack_reference_dataset(args.data, args.split, args.out, args.limit)
+    n = pack_reference_dataset(args.data, args.split, args.out, args.limit,
+                               mano_left=args.mano_left,
+                               mano_right=args.mano_right)
     print(f"packed {n} samples -> {args.out}/{args.split}_*")
 
 
