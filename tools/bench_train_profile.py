@@ -114,6 +114,20 @@ def main():
         return run
 
     img = batch["img"]
+    if os.environ.get("BENCH_COST") == "lower":
+        # flop-count-only path: no compiles, no timing (CPU-friendly)
+        def flops_of(fn):
+            ca = jax.jit(fn).lower(img).cost_analysis()
+            ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+            return float(ca.get("flops", 0.0))
+
+        f_fwd = flops_of(chain(loss_full))
+        f_gf = flops_of(chain_grad(loss_full))
+        print(f"XLA flops  fwd+loss   : {f_fwd/1e12:7.3f} TF")
+        print(f"XLA flops  grad(full) : {f_gf/1e12:7.3f} TF")
+        print(f"flops ratio grad/fwd  : {f_gf/f_fwd:7.2f}")
+        return
+
     t_fwd = timeit(chain(loss_full), img)
     print(f"bs={b} fwd+loss            : {t_fwd*1e3:7.2f} ms", flush=True)
     t_gs = timeit(chain_grad(loss_simple), img)
@@ -152,10 +166,12 @@ def main():
               f"(ratio {t_enc/t_enc_f:4.2f})", flush=True)
 
     if os.environ.get("BENCH_COST"):
-        # XLA cost analysis: compare achieved TFLOP/s of the forward-only
-        # program vs the grad program. If the ratios match, the backward
-        # runs at the forward's (conv-ceiling) efficiency and there is no
-        # backward-specific inefficiency to chase.
+        # XLA cost analysis: compare the flop count of the forward-only
+        # program vs the grad program. If flops ratio ~= measured time
+        # ratio, the backward runs at the forward's (conv-ceiling)
+        # efficiency and there is no backward-specific inefficiency to
+        # chase. (BENCH_COST=lower returns earlier with flop counts only —
+        # no compiles — for running during TPU-tunnel outages.)
         def flops_of(fn):
             c = jax.jit(fn).lower(img).compile()
             ca = c.cost_analysis()
