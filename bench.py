@@ -13,10 +13,27 @@ BENCH_BASELINE_IPS). Falls back to 1.0 only when neither exists.
 
 import json
 import os
+import sys
+import threading
 import time
 
 import jax
 import jax.numpy as jnp
+
+# Watchdog: if the axon TPU tunnel is down, the first device contact
+# blocks forever in a futex (0 CPU) — fail loudly instead of hanging the
+# driver. Disarmed as soon as the warmup forward completes; the limit is
+# far above the observed worst-case cold compile (~10 min).
+_WATCHDOG_S = int(os.environ.get("BENCH_WATCHDOG_S", "2400"))
+_armed = threading.Event()
+
+
+def _watchdog():
+    if not _armed.wait(_WATCHDOG_S):
+        print(f"bench.py: no TPU response within {_WATCHDOG_S}s - "
+              "axon tunnel down? (probe: timeout 120 python -c "
+              "'import jax; jax.devices()')", file=sys.stderr, flush=True)
+        os._exit(17)
 
 # Persistent compilation cache: first compile of the flagship graph takes
 # minutes through the remote-compile tunnel; subsequent runs are instant.
@@ -26,6 +43,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def main():
+    threading.Thread(target=_watchdog, daemon=True).start()
     from renderih_tpu.assets import make_synthetic_assets
     from renderih_tpu.config import Config
     from renderih_tpu.models import init_model, model_call_kwargs
@@ -57,8 +75,9 @@ def main():
         out = model.apply(variables, img, train=False, **call_kwargs)
         return out.verts3d["left"], out.verts3d["right"]
 
-    # warmup + compile
+    # warmup + compile; disarm the watchdog once the device answered
     jax.block_until_ready(forward(variables, img))
+    _armed.set()
 
     iters = int(os.environ.get("BENCH_ITERS", "10"))
     t0 = time.perf_counter()
