@@ -1,0 +1,46 @@
+"""Unit tests for the driver-entry helpers in __graft_entry__.py.
+
+The dryrun re-exec path is load-bearing for the driver's multichip check
+(MULTICHIP_r*.json): it must produce a child environment that (a) forces
+the CPU backend, (b) strips the axon TPU plugin from PYTHONPATH so the
+child cannot block on a dead tunnel, and (c) requests exactly n virtual
+host devices. The full re-exec is exercised end-to-end by the verify
+drive; these tests pin the env contract cheaply.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.abspath(
+    os.path.join(os.path.dirname(__file__), "..")))
+
+from __graft_entry__ import _dryrun_child_env
+
+
+def test_child_env_forces_cpu_and_device_count():
+    env = _dryrun_child_env({"XLA_FLAGS": "--foo=1"}, 8)
+    assert env["JAX_PLATFORMS"] == "cpu"
+    assert env["JAX_PLATFORM_NAME"] == "cpu"
+    assert env["_GRAFT_DRYRUN_REEXEC"] == "1"
+    assert "--foo=1" in env["XLA_FLAGS"]
+    assert "--xla_force_host_platform_device_count=8" in env["XLA_FLAGS"]
+
+
+def test_child_env_replaces_stale_device_count():
+    env = _dryrun_child_env(
+        {"XLA_FLAGS": "--xla_force_host_platform_device_count=2"}, 16)
+    assert env["XLA_FLAGS"].count("xla_force_host_platform_device_count") == 1
+    assert "--xla_force_host_platform_device_count=16" in env["XLA_FLAGS"]
+
+
+def test_child_env_strips_axon_plugin_from_pythonpath():
+    base = {"PYTHONPATH": os.pathsep.join(
+        ["/root/.axon_site", "/some/other/path"])}
+    env = _dryrun_child_env(base, 8)
+    assert env["PYTHONPATH"] == "/some/other/path"
+
+    env = _dryrun_child_env({"PYTHONPATH": "/root/.axon_site"}, 8)
+    assert "PYTHONPATH" not in env
+
+    env = _dryrun_child_env({}, 8)
+    assert "PYTHONPATH" not in env
