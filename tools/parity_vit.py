@@ -29,6 +29,13 @@ REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
 REFERENCE = os.environ.get("RENDERIH_REFERENCE", "/root/reference")
 sys.path.insert(0, REPO)
 
+# CPU by design, configured before anything can touch the backend —
+# f32-vs-f32 comparison, independent of TPU reachability.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_default_matmul_precision", "highest")
+
 
 def run_torch_phase(workdir: str, bs: int, seed: int, model_type: str) -> None:
     sys.path.insert(0, os.path.join(REPO, "tools", "ref_stubs"))
@@ -89,7 +96,7 @@ def run_torch_phase(workdir: str, bs: int, seed: int, model_type: str) -> None:
 
 
 def run_jax_phase(workdir: str, model_type: str) -> dict:
-    import jax
+    import jax  # noqa: F811 — platform forced to CPU at module top
     import jax.numpy as jnp
 
     from renderih_tpu.models.vit import ViTEncoder

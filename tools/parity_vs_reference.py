@@ -43,6 +43,15 @@ REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
 REFERENCE = os.environ.get("RENDERIH_REFERENCE", "/root/reference")
 sys.path.insert(0, REPO)
 
+# CPU by design, configured BEFORE any renderih_tpu import can touch the
+# backend: the comparison is f32 torch-CPU vs f32 jax-CPU, and the
+# harness must not depend on TPU reachability (a dead axon tunnel fails
+# or hangs backend init).
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_default_matmul_precision", "highest")
+
 MANO_PARENTS = (-1, 0, 1, 2, 0, 4, 5, 0, 7, 8, 0, 10, 11, 0, 13, 14)
 
 
@@ -262,7 +271,7 @@ def run_torch_phase(workdir: str, bs: int, seed: int, encoder: str) -> None:
 # --------------------------------------------------------------------------
 
 def run_jax_phase(workdir: str, encoder: str) -> dict:
-    import jax
+    import jax  # noqa: F811 — platform forced to CPU at module top
     import jax.numpy as jnp
 
     from renderih_tpu.assets import Assets, _build_hand
