@@ -19,7 +19,7 @@ import numpy as np
 sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..")))
 
 
-def main():
+def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--data", required=True)
     p.add_argument("--split", default="test")
@@ -27,7 +27,7 @@ def main():
     p.add_argument("--res", type=int, default=64,
                    help="mask resolution (IoU is resolution-insensitive)")
     p.add_argument("--bs", type=int, default=64)
-    args = p.parse_args()
+    args = p.parse_args(argv)
 
     import jax
     import jax.numpy as jnp
