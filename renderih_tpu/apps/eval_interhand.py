@@ -43,6 +43,9 @@ def main(argv=None):
     p.add_argument("--newmpjpe", action="store_true",
                    help="root=joint 9, length=|j9-j0| convention "
                         "(reference apps/eval_interhand_newmpjpe.py)")
+    p.add_argument("--ema", action="store_true",
+                   help="evaluate the EMA params from the checkpoint "
+                        "(requires train.ema_decay > 0 in the cfg)")
     args = p.parse_args(argv)
 
     if args.fused_attn and jax.default_backend() != "cpu":
@@ -57,7 +60,14 @@ def main(argv=None):
     if args.ckpt:
         state = create_train_state(cfg, variables, steps_per_epoch=1)
         state = restore_checkpoint(args.ckpt, state)
-        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        params = state.params
+        if args.ema:
+            assert state.ema_params is not None, (
+                "--ema needs a checkpoint trained with train.ema_decay > 0")
+            params = state.ema_params
+        variables = {"params": params, "batch_stats": state.batch_stats}
+    elif args.ema:
+        raise SystemExit("--ema requires --ckpt")
 
     if args.synthetic or not args.data:
         dataset = make_synthetic_packed("/tmp/renderih_eval", args.split,

@@ -99,6 +99,10 @@ class TrainConfig:
     # poisoning params/optimizer/BN state; reported per step as
     # `skipped_nonfinite`.
     nan_guard: bool = True
+    # Exponential moving average of params (0 = off). Maintained inside
+    # the jitted step, checkpointed with the state, evaluated via
+    # eval_interhand --ema. The reference has no equivalent.
+    ema_decay: float = 0.0
     save_gap: int = 10
     log_every: int = 50
     eval_every: int = 10

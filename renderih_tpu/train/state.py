@@ -26,6 +26,10 @@ class TrainState:
     params: Any
     batch_stats: Any
     opt_state: Any
+    # EMA of params (cfg.train.ema_decay > 0), else None. None is an
+    # empty pytree, so checkpoints and shardings of EMA-less states keep
+    # their round-1 structure.
+    ema_params: Any = None
 
     def epoch(self, steps_per_epoch: int) -> jax.Array:
         return self.step // steps_per_epoch
@@ -89,11 +93,16 @@ def create_train_state(cfg: Config, variables: dict,
         jnp.array, variables.get("batch_stats", {})
     )
     tx = make_frozen_optimizer(cfg, steps_per_epoch, params)
+    # EMA starts at the current params (no zero-init bias correction
+    # needed); a separate copy so donation can't alias them.
+    ema = (jax.tree_util.tree_map(jnp.array, params)
+           if cfg.train.ema_decay > 0 else None)
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,
         batch_stats=batch_stats,
         opt_state=tx.init(params),
+        ema_params=ema,
     )
 
 

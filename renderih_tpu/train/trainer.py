@@ -66,8 +66,10 @@ def state_shardings(state: TrainState, mesh: Mesh, cfg: Config):
         if cfg.train.zero1
         else jax.tree_util.tree_map(lambda _: rep, state.opt_state)
     )
+    ema_sh = (jax.tree_util.tree_map_with_path(param_spec, state.ema_params)
+              if state.ema_params is not None else None)
     return TrainState(step=rep, params=params_sh, batch_stats=bs_sh,
-                      opt_state=opt_sh)
+                      opt_state=opt_sh, ema_params=ema_sh)
 
 
 def shard_train_state(state: TrainState, mesh: Mesh, cfg: Config) -> TrainState:
@@ -125,6 +127,10 @@ def make_train_step(
         )(state.params)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
+        d = cfg.train.ema_decay
+        new_ema = (jax.tree_util.tree_map(
+            lambda e, p: d * e + (1.0 - d) * p,
+            state.ema_params, new_params) if d > 0 else None)
         new_step = state.step + 1
         if cfg.train.nan_guard:
             # Production safety: a non-finite loss OR gradient (bad batch,
@@ -147,6 +153,10 @@ def make_train_step(
             new_params = _sel(new_params, state.params)
             new_opt = _sel(new_opt, state.opt_state)
             new_bs = _sel(new_bs, state.batch_stats)
+            if new_ema is not None:
+                # EMA only advances on applied updates (reverted params
+                # would otherwise still drag the average)
+                new_ema = _sel(new_ema, state.ema_params)
             new_step = state.step + ok.astype(state.step.dtype)
             terms = {**terms,
                      "skipped_nonfinite": 1.0 - ok.astype(jnp.float32)}
@@ -155,6 +165,7 @@ def make_train_step(
             params=new_params,
             batch_stats=new_bs,
             opt_state=new_opt,
+            ema_params=new_ema,
         )
         return new_state, terms
 
