@@ -70,6 +70,27 @@ def test_ema_matches_numpy_oracle(setup):
     assert max(deltas) > 0.0
 
 
+def test_ema_checkpoint_roundtrip(setup, tmp_path):
+    """EMA params survive orbax save/restore; EMA-less templates keep the
+    round-1 state structure."""
+    from renderih_tpu.train.state import restore_checkpoint, save_checkpoint
+
+    cfg, assets, model, variables = setup
+    state = create_train_state(cfg, variables, steps_per_epoch=10)
+    # make EMA distinguishable from params
+    state = state.replace(ema_params=jax.tree_util.tree_map(
+        lambda x: x + 1.0, state.ema_params))
+    save_checkpoint(str(tmp_path / "ck"), state)
+    restored = restore_checkpoint(
+        str(tmp_path / "ck"), create_train_state(cfg, variables, 10))
+    for a, b in zip(jax.tree_util.tree_leaves(restored.ema_params),
+                    jax.tree_util.tree_leaves(state.ema_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    cfg_off = replace(cfg, train=replace(cfg.train, ema_decay=0.0))
+    assert create_train_state(cfg_off, variables, 10).ema_params is None
+
+
 def test_ema_sharded_like_params(setup):
     cfg, assets, model, variables = setup
     from renderih_tpu.parallel.mesh import make_mesh
