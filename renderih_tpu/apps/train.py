@@ -83,6 +83,9 @@ def main(argv=None):
     if args.synthetic or not args.data:
         root = os.path.join(cfg.train.checkpoint_dir, "_synth_data")
         dataset = make_synthetic_packed(root, "train", assets, n=256)
+        # small held-out split so in-train eval (and its EMA variant) is
+        # exercised by synthetic smoke runs too
+        eval_dataset = make_synthetic_packed(root, "test", assets, n=64)
         log.info("synthetic dataset: %d samples", len(dataset))
     else:
         dataset = PackedInterHand.load(args.data, "train")
@@ -202,6 +205,18 @@ def main(argv=None):
                 summary["pa_mpjpe_mm"],
             )
             writer.write(i + 1, summary, prefix="eval/")
+            if state.ema_params is not None:
+                ema_summary = evaluate_packed(
+                    cfg, model,
+                    {"params": state.ema_params,
+                     "batch_stats": state.batch_stats},
+                    assets, eval_dataset, batch_size=global_batch)
+                log.info(
+                    "eval epoch %d (EMA): mpjpe %.2f mm mpvpe %.2f mm "
+                    "pa %.2f mm", epoch, ema_summary["mpjpe_mm"],
+                    ema_summary["mpvpe_mm"], ema_summary["pa_mpjpe_mm"],
+                )
+                writer.write(i + 1, ema_summary, prefix="eval_ema/")
 
     final = os.path.abspath(os.path.join(cfg.train.checkpoint_dir, "final"))
     save_checkpoint(final, state)
