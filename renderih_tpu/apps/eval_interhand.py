@@ -46,6 +46,11 @@ def main(argv=None):
     p.add_argument("--ema", action="store_true",
                    help="evaluate the EMA params from the checkpoint "
                         "(requires train.ema_decay > 0 in the cfg)")
+    p.add_argument("--torch_ckpt", type=str, default=None,
+                   help="a reference .pth checkpoint (bare state_dict or "
+                        "the reference's {'epoch','network'} save, "
+                        "core/lijun_trainer.py:343-355); converted "
+                        "in-memory via utils/checkpoint_convert")
     args = p.parse_args(argv)
 
     if args.fused_attn and jax.default_backend() != "cpu":
@@ -66,6 +71,19 @@ def main(argv=None):
                 "--ema needs a checkpoint trained with train.ema_decay > 0")
             params = state.ema_params
         variables = {"params": params, "batch_stats": state.batch_stats}
+    elif args.torch_ckpt:
+        import torch
+
+        from renderih_tpu.utils.checkpoint_convert import (
+            convert_reference_checkpoint,
+        )
+
+        raw = torch.load(args.torch_ckpt, map_location="cpu",
+                         weights_only=True)
+        sd = raw["network"] if "network" in raw else raw
+        params, batch_stats = convert_reference_checkpoint(
+            sd, encoder=cfg.model.encoder)
+        variables = {"params": params, "batch_stats": batch_stats}
     elif args.ema:
         raise SystemExit("--ema requires --ckpt")
 
@@ -90,6 +108,7 @@ def main(argv=None):
         print(json.dumps({k: float(v) for k, v in summary.items()}))
     else:
         print_summary(summary)
+    return summary
 
 
 if __name__ == "__main__":
