@@ -29,7 +29,6 @@ from renderih_tpu.config import load_config
 from renderih_tpu.models import init_model, model_call_kwargs
 from renderih_tpu.ops.image import normalize_imagenet
 from renderih_tpu.render.renderer import TwoHandRenderer
-from renderih_tpu.train.state import create_train_state, restore_checkpoint
 
 
 def pad_to_square(img: np.ndarray) -> np.ndarray:
@@ -136,7 +135,9 @@ class ConstantAccelSmoother:
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--cfg", type=str, default=None)
-    p.add_argument("--ckpt", type=str, default=None)
+    from renderih_tpu.apps.weights import add_weight_args, load_eval_variables
+
+    add_weight_args(p)
     p.add_argument("--img_path", type=str, default="demo_in")
     p.add_argument("--save_path", type=str, default="demo_out")
     p.add_argument("--live_demo", action="store_true")
@@ -149,11 +150,9 @@ def main(argv=None):
     cfg = load_config(args.cfg)
     assets = load_assets(cfg.assets)
     variables = None
-    if args.ckpt:
+    if args.ckpt or args.torch_ckpt:
         model, v0 = init_model(cfg, assets, jax.random.PRNGKey(0))
-        state = create_train_state(cfg, v0, steps_per_epoch=1)
-        state = restore_checkpoint(args.ckpt, state)
-        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        variables = load_eval_variables(cfg, v0, args)
 
     runner = InterRender(cfg, assets, variables)
 

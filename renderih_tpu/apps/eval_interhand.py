@@ -17,17 +17,17 @@ enable_compilation_cache()
 import numpy as np
 
 from renderih_tpu.assets import load_assets
+from renderih_tpu.apps.weights import add_weight_args, load_eval_variables
 from renderih_tpu.config import load_config
 from renderih_tpu.data.interhand import PackedInterHand, make_synthetic_packed
 from renderih_tpu.eval.evaluator import evaluate_packed, print_summary
 from renderih_tpu.models import init_model
-from renderih_tpu.train.state import create_train_state, restore_checkpoint
 
 
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--cfg", type=str, default=None)
-    p.add_argument("--ckpt", type=str, default=None)
+    add_weight_args(p)
     p.add_argument("--data", type=str, default=None)
     p.add_argument("--split", type=str, default="test")
     p.add_argument("--iou", type=str, default=None)
@@ -43,14 +43,6 @@ def main(argv=None):
     p.add_argument("--newmpjpe", action="store_true",
                    help="root=joint 9, length=|j9-j0| convention "
                         "(reference apps/eval_interhand_newmpjpe.py)")
-    p.add_argument("--ema", action="store_true",
-                   help="evaluate the EMA params from the checkpoint "
-                        "(requires train.ema_decay > 0 in the cfg)")
-    p.add_argument("--torch_ckpt", type=str, default=None,
-                   help="a reference .pth checkpoint (bare state_dict or "
-                        "the reference's {'epoch','network'} save, "
-                        "core/lijun_trainer.py:343-355); converted "
-                        "in-memory via utils/checkpoint_convert")
     args = p.parse_args(argv)
 
     if args.fused_attn and jax.default_backend() != "cpu":
@@ -62,30 +54,7 @@ def main(argv=None):
     assets = load_assets(cfg.assets)
     model, variables = init_model(cfg, assets, jax.random.PRNGKey(0))
 
-    if args.ckpt:
-        state = create_train_state(cfg, variables, steps_per_epoch=1)
-        state = restore_checkpoint(args.ckpt, state)
-        params = state.params
-        if args.ema:
-            assert state.ema_params is not None, (
-                "--ema needs a checkpoint trained with train.ema_decay > 0")
-            params = state.ema_params
-        variables = {"params": params, "batch_stats": state.batch_stats}
-    elif args.torch_ckpt:
-        import torch
-
-        from renderih_tpu.utils.checkpoint_convert import (
-            convert_reference_checkpoint,
-        )
-
-        raw = torch.load(args.torch_ckpt, map_location="cpu",
-                         weights_only=True)
-        sd = raw["network"] if "network" in raw else raw
-        params, batch_stats = convert_reference_checkpoint(
-            sd, encoder=cfg.model.encoder)
-        variables = {"params": params, "batch_stats": batch_stats}
-    elif args.ema:
-        raise SystemExit("--ema requires --ckpt")
+    variables = load_eval_variables(cfg, variables, args)
 
     if args.synthetic or not args.data:
         dataset = make_synthetic_packed("/tmp/renderih_eval", args.split,

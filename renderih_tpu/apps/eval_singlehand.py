@@ -23,13 +23,14 @@ from renderih_tpu.config import load_config
 from renderih_tpu.data.interhand import PackedInterHand, make_synthetic_packed
 from renderih_tpu.eval.evaluator import evaluate_packed
 from renderih_tpu.models import init_model
-from renderih_tpu.train.state import create_train_state, restore_checkpoint
 
 
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--cfg", type=str, default=None)
-    p.add_argument("--ckpt", type=str, default=None)
+    from renderih_tpu.apps.weights import add_weight_args, load_eval_variables
+
+    add_weight_args(p)
     p.add_argument("--data", type=str, default=None)
     p.add_argument("--split", type=str, default="test")
     p.add_argument("--hand", choices=["left", "right"], default="right")
@@ -40,10 +41,7 @@ def main(argv=None):
     cfg = load_config(args.cfg)
     assets = load_assets(cfg.assets)
     model, variables = init_model(cfg, assets, jax.random.PRNGKey(0))
-    if args.ckpt:
-        state = create_train_state(cfg, variables, steps_per_epoch=1)
-        state = restore_checkpoint(args.ckpt, state)
-        variables = {"params": state.params, "batch_stats": state.batch_stats}
+    variables = load_eval_variables(cfg, variables, args)
 
     if args.synthetic or not args.data:
         dataset = make_synthetic_packed("/tmp/renderih_eval_sh", args.split,
@@ -56,13 +54,14 @@ def main(argv=None):
     h = args.hand
     print(json.dumps({
         "hand": h,
-        "ori_mpjpe_mm": summary[f"ori_mpjpe_{h}_mm"],
-        "ori_mpvpe_mm": summary[f"ori_mpvpe_{h}_mm"],
-        "mpjpe_mm": summary[f"mpjpe_{h}_mm"],
-        "mpvpe_mm": summary[f"mpvpe_{h}_mm"],
-        "pa_mpjpe_mm": summary[f"pa_mpjpe_{h}_mm"],
-        "pa_mpvpe_mm": summary[f"pa_mpvpe_{h}_mm"],
-        "images_per_sec": summary["images_per_sec"],
+        # float(): summarize() returns numpy scalars, which json rejects
+        "ori_mpjpe_mm": float(summary[f"ori_mpjpe_{h}_mm"]),
+        "ori_mpvpe_mm": float(summary[f"ori_mpvpe_{h}_mm"]),
+        "mpjpe_mm": float(summary[f"mpjpe_{h}_mm"]),
+        "mpvpe_mm": float(summary[f"mpvpe_{h}_mm"]),
+        "pa_mpjpe_mm": float(summary[f"pa_mpjpe_{h}_mm"]),
+        "pa_mpvpe_mm": float(summary[f"pa_mpvpe_{h}_mm"]),
+        "images_per_sec": float(summary["images_per_sec"]),
     }, indent=2))
 
 
