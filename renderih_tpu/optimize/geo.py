@@ -36,6 +36,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from renderih_tpu.assets import Assets
@@ -140,6 +141,59 @@ def make_gaussian_pose_prior(poses_aa: jax.Array, eps: float = 1e-3):
         return d @ prec @ d
 
     return prior
+
+
+def make_gan_pose_prior(params):
+    """Trained-discriminator naturalness energy (reference
+    `pose_data_optimize/Ver2Code/Discriminator/discrim.py:66-105` — the
+    reference ships only the architecture; the weights come from
+    `tools/train_pose_prior.py`, trained real-vs-randomized on the
+    synthetic plausible-pose corpus).
+
+    Returns a differentiable energy `pose_aa (45,) -> scalar`: softplus
+    of the negated realism logits, so plausible poses sit near zero and
+    gradients always point toward higher realism.
+    """
+    from renderih_tpu.models.aux_nets import PoseDiscriminator
+    from renderih_tpu.ops.rotation import rodrigues
+
+    disc = PoseDiscriminator()
+
+    def prior(pose_aa: jax.Array) -> jax.Array:
+        rotmats = rodrigues(pose_aa.reshape(1, 15, 3))
+        per_joint, overall = disc.apply({"params": params}, rotmats)
+        logit = per_joint.mean() + overall.mean()
+        return jax.nn.softplus(-logit)
+
+    return prior
+
+
+def save_pose_prior(params, path: str) -> None:
+    """Flatten discriminator params into an npz artifact."""
+    flat = {}
+
+    def walk(prefix, node):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                walk(f"{prefix}/{k}" if prefix else k, v)
+        else:
+            flat[prefix] = np.asarray(node)
+
+    walk("", params)
+    np.savez(path, **flat)
+
+
+def load_pose_prior(path: str):
+    """Load an npz artifact back into the nested flax params dict."""
+    flat = np.load(path)
+    params: dict = {}
+    for key in flat.files:
+        node = params
+        parts = key.split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = jnp.asarray(flat[key])
+    return params
 
 
 class HandVars(NamedTuple):

@@ -43,6 +43,33 @@ def test_sharded_eval_matches_single_device(setup):
         assert sharded[k] == pytest.approx(single[k], abs=1e-3), k
 
 
+def test_device_cache_matches_streaming(setup):
+    """The HBM-resident eval path (upload once, dynamic-slice batches on
+    device) must be metric-identical to the per-batch streaming path."""
+    cfg, model, variables, assets, dataset = setup
+    cached = evaluate_packed(cfg, model, variables, assets, dataset,
+                             batch_size=16, device_cache=True)
+    streamed = evaluate_packed(cfg, model, variables, assets, dataset,
+                               batch_size=16, device_cache=False)
+    assert cached["device_cache"] and not streamed["device_cache"]
+    for k in ("mpjpe_mm", "mpvpe_mm", "pa_mpjpe_mm", "mrrpe_mm", "cdev_mm"):
+        assert cached[k] == pytest.approx(streamed[k], abs=1e-3), k
+
+
+def test_device_cache_tail_padding(setup, tmp_path):
+    """n=30 with batch 16: the cached path pads to 32 by repeating the
+    last sample; metrics must match an exact-fit streaming run."""
+    cfg, model, variables, assets, _ = setup
+    dataset = make_synthetic_packed(str(tmp_path), "test", assets,
+                                    n=30, seed=5)
+    cached = evaluate_packed(cfg, model, variables, assets, dataset,
+                             batch_size=16, device_cache=True)
+    streamed = evaluate_packed(cfg, model, variables, assets, dataset,
+                               batch_size=30, device_cache=False)
+    for k in ("mpjpe_mm", "mpvpe_mm", "pa_mpjpe_mm", "mrrpe_mm"):
+        assert cached[k] == pytest.approx(streamed[k], abs=5e-3), k
+
+
 def test_sharded_eval_rounds_batch_and_keeps_tail(setup, tmp_path):
     """A batch size not divisible by the data axis rounds down (12 -> 8),
     and with n=30 the padded tail (30 % 8 = 6 valid rows) must contribute

@@ -54,11 +54,16 @@ def main():
 
     step = jax.jit(step)
 
-    # fwd-only control: same program minus the metric tail
+    # fwd-only control: same program minus the metric tail. It must return
+    # per-sample REDUCTIONS, not vertex arrays: the metric program's
+    # outputs are small (B,) vectors, so downloading two (B, 778, 3)
+    # float32 arrays (~4.8 MB/iter over the slow axon tunnel) here would
+    # inflate t_fwd and systematically understate the metric tail.
     def fwd_only(img_u8):
         img = normalize_imagenet(img_u8.astype(jnp.float32) / 255.0)
         out = model.apply(variables, img, train=False, **call_kwargs)
-        return out.verts3d["left"], out.verts3d["right"]
+        return (out.verts3d["left"].sum(axis=(1, 2)),
+                out.verts3d["right"].sum(axis=(1, 2)))
 
     fwd_only = jax.jit(fwd_only)
 
@@ -84,7 +89,10 @@ def main():
     jax.block_until_ready(step(*dev))
     jax.block_until_ready(fwd_only(dev[0]))
 
-    # chained timing on device-resident inputs (tunnel-proof: fetch scalars)
+    # Timing on device-resident inputs: enqueue all iters, block on the
+    # last, then download every output. Both programs return only small
+    # (B,)-sized arrays, so the device_get cost is symmetric between them
+    # and negligible (one tunnel RTT per iter, same for both).
     def timed(fn, args, iters=8):
         jax.block_until_ready(fn(*args))
         t0 = time.perf_counter()

@@ -13,6 +13,12 @@ Layouts supported (auto-detected):
   B: {data}/all/{i}.npy with dict['img'] embedded (Tzionas-style)
 
   python tools/dataset_gen/handdict_gen.py --data DIR --split test --out P/
+
+Joints-only datasets (`--from_joints`): frames that carry joints3d but no
+verts3d/pose (e.g. mocap exports, the reference's
+`utils/mano_from_3djoint/convert2mano.py` use case) get MANO parameters
+fitted by the batched analytic IK + Adam refinement (`mano/ik.py`), and
+verts3d/pose/shape are filled from the fit.
 """
 
 import argparse
@@ -34,6 +40,11 @@ def main():
     p.add_argument("--split", default="test")
     p.add_argument("--out", required=True)
     p.add_argument("--limit", type=int, default=None)
+    p.add_argument("--from_joints", action="store_true",
+                   help="fit MANO (pose/shape/verts) to frames that only "
+                        "have joints3d, via mano/ik.py")
+    p.add_argument("--ik_iters", type=int, default=200)
+    p.add_argument("--ik_batch", type=int, default=256)
     args = p.parse_args()
 
     import cv2 as cv
@@ -70,6 +81,7 @@ def main():
     labels = {k: np.zeros((n,) + _label_shape(k), np.float32)
               for k in LABEL_KEYS}
 
+    ik_rows = {"left": [], "right": []}  # joints-only frames per hand
     for i in range(n):
         img, hd = read(i)
         if img.shape[:2] != (IMG_SIZE, IMG_SIZE):
@@ -77,8 +89,11 @@ def main():
         images[i] = img
         for hand in ("left", "right"):
             h = hd[hand]
-            labels[f"v3d_{hand}"][i] = h["verts3d"]
             labels[f"j3d_{hand}"][i] = h["joints3d"]
+            if "verts3d" in h:
+                labels[f"v3d_{hand}"][i] = h["verts3d"]
+            elif args.from_joints:
+                ik_rows[hand].append(i)
             if "verts2d" in h:
                 labels[f"v2d_{hand}"][i] = h["verts2d"]
                 labels[f"j2d_{hand}"][i] = h["joints2d"]
@@ -88,6 +103,31 @@ def main():
                 labels[f"shape_{hand}"][i] = np.asarray(h["shape"]).ravel()[:10]
         if (i + 1) % 2000 == 0:
             print(f"{i + 1}/{n}")
+
+    if args.from_joints and (ik_rows["left"] or ik_rows["right"]):
+        import jax.numpy as jnp
+
+        from renderih_tpu.assets import make_synthetic_assets
+        from renderih_tpu.mano.ik import fit_mano_to_joints, mano_from_fit
+
+        assets = make_synthetic_assets(seed=0)
+        models = {"left": assets.left.mano, "right": assets.right.mano}
+        for hand in ("left", "right"):
+            rows = np.asarray(ik_rows[hand], np.int64)
+            for s in range(0, len(rows), args.ik_batch):
+                rr = rows[s:s + args.ik_batch]
+                tgt = jnp.asarray(labels[f"j3d_{hand}"][rr])
+                fit = fit_mano_to_joints(models[hand], tgt,
+                                         iters=args.ik_iters)
+                v, _ = mano_from_fit(models[hand], fit, tgt)
+                labels[f"v3d_{hand}"][rr] = np.asarray(v)
+                labels[f"pose_{hand}"][rr] = np.concatenate(
+                    [np.asarray(fit.root_aa), np.asarray(fit.pose_aa)], -1)
+                labels[f"shape_{hand}"][rr] = np.asarray(fit.shape)
+                print(f"IK {hand}: fitted {s + len(rr)}/{len(rows)} "
+                      f"(mean joint residual "
+                      f"{float(fit.joint_err.mean()) * 1e3:.2f} mm at "
+                      f"template scale)")
     images.flush()
     np.savez(os.path.join(args.out, f"{args.split}_labels.npz"), **labels)
     print(f"packed {n} -> {args.out}")

@@ -42,6 +42,13 @@ def main():
     p.add_argument("--opt_iters", type=int, default=60,
                    help="Adam iterations per sample for --optimize")
     p.add_argument("--batch", type=int, default=32)
+    p.add_argument("--prior", choices=("gaussian", "gan"), default="gaussian",
+                   help="naturalness prior for --optimize: analytic "
+                        "Gaussian, or the trained discriminator "
+                        "(tools/train_pose_prior.py artifact)")
+    p.add_argument("--prior_weights",
+                   default="renderih_tpu/assets_data/pose_prior.npz",
+                   help="npz artifact for --prior gan")
     p.add_argument("--backgrounds", default=None,
                    help="directory of background images to composite over "
                         "(reference Blender-pipeline behavior); procedural "
@@ -154,18 +161,24 @@ def main():
     refine = None
     if args.optimize:
         # contact/SDF refinement (reference `pose_data_optimize` step),
-        # with the Gaussian naturalness prior fitted to the sampling
-        # distribution (stand-in for the reference's GAN discriminator)
+        # with a naturalness prior: either the analytic Gaussian fitted to
+        # the sampling distribution, or the trained GAN discriminator
+        # (the reference's `Ver2Code/Discriminator` capability).
         from renderih_tpu.optimize.anchors import make_synthetic_anchors
         from renderih_tpu.optimize.geo import (
             GeoWeights,
             HandVars,
+            load_pose_prior,
+            make_gan_pose_prior,
             make_gaussian_pose_prior,
             optimize_two_hands,
         )
 
-        prior = make_gaussian_pose_prior(
-            jax.random.normal(jax.random.PRNGKey(1234), (256, 45)) * 0.4)
+        if args.prior == "gan":
+            prior = make_gan_pose_prior(load_pose_prior(args.prior_weights))
+        else:
+            prior = make_gaussian_pose_prior(
+                jax.random.normal(jax.random.PRNGKey(1234), (256, 45)) * 0.4)
         # anchor-based contact search (reference `search_anchors`)
         anchor_specs = (
             make_synthetic_anchors(np.asarray(assets.left.mano.faces),
