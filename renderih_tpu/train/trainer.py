@@ -145,18 +145,20 @@ def make_train_step(
                 lambda a, g: a & jnp.all(jnp.isfinite(g)),
                 grads, jnp.asarray(True),
             )
-
-            def _sel(new, old):
-                return jax.tree_util.tree_map(
-                    lambda a, b: jnp.where(ok, a, b), new, old)
-
-            new_params = _sel(new_params, state.params)
-            new_opt = _sel(new_opt, state.opt_state)
-            new_bs = _sel(new_bs, state.batch_stats)
-            if new_ema is not None:
-                # EMA only advances on applied updates (reverted params
-                # would otherwise still drag the average)
-                new_ema = _sel(new_ema, state.ema_params)
+            # One lax.cond over the whole state tuple, NOT per-leaf
+            # jnp.where selects: the per-leaf form makes XLA:CPU compile
+            # pathologically slow (measured 930 s for a step that takes
+            # 97 s without it; TPU is fine either way), which broke the
+            # 8-virtual-device CPU dryrun two rounds running. A single
+            # conditional that forwards tuples is near-free for every
+            # backend. EMA only advances on applied updates (reverted
+            # params would otherwise still drag the average).
+            new_params, new_opt, new_bs, new_ema = jax.lax.cond(
+                ok,
+                lambda: (new_params, new_opt, new_bs, new_ema),
+                lambda: (state.params, state.opt_state, state.batch_stats,
+                         state.ema_params if new_ema is not None else None),
+            )
             new_step = state.step + ok.astype(state.step.dtype)
             terms = {**terms,
                      "skipped_nonfinite": 1.0 - ok.astype(jnp.float32)}

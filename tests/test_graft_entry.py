@@ -22,15 +22,24 @@ def test_child_env_forces_cpu_and_device_count():
     assert env["JAX_PLATFORMS"] == "cpu"
     assert env["JAX_PLATFORM_NAME"] == "cpu"
     assert env["_GRAFT_DRYRUN_REEXEC"] == "1"
-    assert "--foo=1" in env["XLA_FLAGS"]
-    assert "--xla_force_host_platform_device_count=8" in env["XLA_FLAGS"]
+    # XLA_FLAGS must be DETERMINISTIC, not inherited: any extra flag
+    # changes the compilation-cache key, so a pre-warmed cache would be
+    # missed under the driver's (unknown) environment.
+    assert env["XLA_FLAGS"] == "--xla_force_host_platform_device_count=8"
 
 
 def test_child_env_replaces_stale_device_count():
     env = _dryrun_child_env(
         {"XLA_FLAGS": "--xla_force_host_platform_device_count=2"}, 16)
-    assert env["XLA_FLAGS"].count("xla_force_host_platform_device_count") == 1
-    assert "--xla_force_host_platform_device_count=16" in env["XLA_FLAGS"]
+    assert env["XLA_FLAGS"] == "--xla_force_host_platform_device_count=16"
+
+
+def test_child_env_per_machine_cpu_cache():
+    # Foreign-host AOT entries in the shared cache error on load and risk
+    # SIGILL; the child must get a per-machine CPU namespace instead.
+    env = _dryrun_child_env({"JAX_CACHE_DIR": "/root/.jax_cache"}, 8)
+    assert env["JAX_CACHE_DIR"].startswith("/root/.jax_cache_cpu_")
+    assert env["JAX_CACHE_DIR"] != "/root/.jax_cache"
 
 
 def test_child_env_strips_axon_plugin_from_pythonpath():
