@@ -1,0 +1,318 @@
+"""Monte-Carlo path tracer in pure JAX (TPU-friendly, offline data gen).
+
+Closes the remaining fidelity divergence with the reference's offline
+Blender/Cycles rendering pipeline (`rendering_code/step4_load_mano_diffbg.py`
+driven by `rendering_code/run.sh`, flow in `rendering_code/steps.md`):
+true visibility (shadow rays), area-light soft shadows, multi-bounce
+diffuse interreflection (global illumination) and environment lighting —
+physics the rasterizer's local Phong shading (`render/renderer.py`) can
+only approximate with the Bunnell AO/soft-shadow terms.
+
+TPU-first formulation — none of this is a port of a CUDA/OptiX pattern:
+
+* No recursion and no ray queues: a fixed-depth iterative loop over
+  bounces with an `alive` mask, all shapes static, so the whole render
+  jits and the compiler sees one straight-line program.
+* Intersection is brute-force Moller-Trumbore against ALL triangles
+  (two MANO hands = ~3.1k faces — far below the crossover where a BVH
+  would beat dense vector math on the VPU), vectorized as
+  (ray_chunk, tri) tensor ops and chunked with `lax.map` to bound the
+  (R, T, 3) temporaries.
+* The primary hit is deterministic (no sub-pixel jitter), so it is
+  traced ONCE and reused by every sample; only shadow and bounce rays
+  are per-sample. Randomness is counter-based `jax.random`.
+* Geometry lives in an isotropic "render space": x, y from
+  `orthographic_project` (pixels) and z scaled by the same
+  `scale * img_size` pixels-per-metre factor, so light transport
+  distances are meaningful and consistent with the rasterizer's frame.
+
+Cost at 256^2, 3.1k faces: one intersection pass is ~0.2G ray-tri tests;
+spp=8 x (1 shadow + 2 bounces x (1 bounce + 1 shadow)) ~= 40 passes —
+seconds per image on a v5e, fine for the offline synth_gen pipeline.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from renderih_tpu.ops.projection import orthographic_project
+from renderih_tpu.render.renderer import _vertex_normals
+
+_EPS_DET = 1e-9       # Moller-Trumbore degenerate-triangle guard
+_RAY_EPS = 1e-3       # surface offset along the normal (pixels)
+
+
+class Scene(NamedTuple):
+    """Precomputed per-triangle data for one mesh in render space."""
+
+    v0: jax.Array        # (T, 3) first vertex of each triangle
+    e1: jax.Array        # (T, 3) v1 - v0
+    e2: jax.Array        # (T, 3) v2 - v0
+    n_vert: jax.Array    # (T, 3, 3) smooth vertex normals at the 3 corners
+    a_vert: jax.Array    # (T, 3, 3) albedo at the 3 corners
+
+
+def build_scene(verts: jax.Array, faces: jax.Array,
+                albedo: jax.Array) -> Scene:
+    """verts: (V, 3) render-space, faces: (T, 3), albedo: (V, 3)."""
+    tri = verts[faces]                       # (T, 3, 3)
+    vn = _vertex_normals(verts, faces)       # (V, 3)
+    return Scene(
+        v0=tri[:, 0],
+        e1=tri[:, 1] - tri[:, 0],
+        e2=tri[:, 2] - tri[:, 0],
+        n_vert=vn[faces],
+        a_vert=albedo[faces],
+    )
+
+
+def _intersect_chunk(o, d, scene: Scene):
+    """Nearest hit of rays (R, 3)/(R, 3) against all triangles.
+
+    Returns (t (R,), tri (R,), u (R,), v (R,)); t = +inf on miss.
+    Classic Moller-Trumbore, broadcast to (R, T, 3) temporaries — the
+    caller bounds R so these stay ~100 MB.
+    """
+    h = jnp.cross(d[:, None, :], scene.e2[None, :, :])      # (R, T, 3)
+    a = jnp.sum(scene.e1[None] * h, axis=-1)                # (R, T)
+    f = jnp.where(jnp.abs(a) > _EPS_DET, 1.0 / a, 0.0)
+    s = o[:, None, :] - scene.v0[None]                      # (R, T, 3)
+    u = f * jnp.sum(s * h, axis=-1)
+    q = jnp.cross(s, scene.e1[None])
+    v = f * jnp.sum(d[:, None, :] * q, axis=-1)
+    t = f * jnp.sum(scene.e2[None] * q, axis=-1)
+    valid = ((jnp.abs(a) > _EPS_DET) & (u >= 0.0) & (v >= 0.0)
+             & (u + v <= 1.0) & (t > _RAY_EPS))
+    t = jnp.where(valid, t, jnp.inf)
+    tri = jnp.argmin(t, axis=1)                             # (R,)
+    take = lambda x: jnp.take_along_axis(x, tri[:, None], 1)[:, 0]
+    return take(t), tri, take(u), take(v)
+
+
+@partial(jax.jit, static_argnames=("chunk",))
+def intersect(o, d, scene: Scene, chunk: int = 8192):
+    """Chunked nearest-hit query for R rays (pads R up to the chunk)."""
+    R = o.shape[0]
+    c = min(chunk, R)
+    pad = (-R) % c
+    if pad:
+        o = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)], axis=0)
+        d = jnp.concatenate(
+            [d, jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0], d.dtype),
+                                 (pad, 3))], axis=0)
+    o = o.reshape(-1, c, 3)
+    d = d.reshape(-1, c, 3)
+    t, tri, u, v = jax.lax.map(
+        lambda od: _intersect_chunk(od[0], od[1], scene), (o, d))
+    return (t.reshape(-1)[:R], tri.reshape(-1)[:R], u.reshape(-1)[:R],
+            v.reshape(-1)[:R])
+
+
+def _interp(tri_attr, tri, u, v):
+    """Barycentric interpolation of (T, 3, A) corner data at hits."""
+    corners = tri_attr[tri]                                 # (R, 3, A)
+    w = 1.0 - u - v
+    return (w[:, None] * corners[:, 0] + u[:, None] * corners[:, 1]
+            + v[:, None] * corners[:, 2])
+
+
+def _cosine_sample(n, key):
+    """Cosine-weighted hemisphere directions around normals n (R, 3)."""
+    k1, k2 = jax.random.split(key)
+    r1 = jax.random.uniform(k1, n.shape[:1])
+    r2 = jax.random.uniform(k2, n.shape[:1])
+    phi = 2.0 * jnp.pi * r1
+    sin_t = jnp.sqrt(r2)
+    local = jnp.stack([jnp.cos(phi) * sin_t, jnp.sin(phi) * sin_t,
+                       jnp.sqrt(jnp.maximum(1.0 - r2, 0.0))], axis=-1)
+    # orthonormal basis around n (branchless Frisvad/Pixar)
+    s = jnp.where(n[:, 2] >= 0.0, 1.0, -1.0)
+    c = -1.0 / (s + n[:, 2] + 1e-12)
+    b = n[:, 0] * n[:, 1] * c
+    t1 = jnp.stack([1.0 + s * n[:, 0] ** 2 * c, s * b, -s * n[:, 0]], -1)
+    t2 = jnp.stack([b, s + n[:, 1] ** 2 * c, -n[:, 1]], -1)
+    return (local[:, 0:1] * t1 + local[:, 1:2] * t2 + local[:, 2:3] * n)
+
+
+def _disk_sample(key, center, normal, radius, n_rays):
+    """Uniform points on an oriented disk area light -> (R, 3)."""
+    k1, k2 = jax.random.split(key)
+    r = radius * jnp.sqrt(jax.random.uniform(k1, (n_rays,)))
+    phi = 2.0 * jnp.pi * jax.random.uniform(k2, (n_rays,))
+    s = jnp.where(normal[2] >= 0.0, 1.0, -1.0)
+    c = -1.0 / (s + normal[2] + 1e-12)
+    b = normal[0] * normal[1] * c
+    t1 = jnp.stack([1.0 + s * normal[0] ** 2 * c, s * b, -s * normal[0]])
+    t2 = jnp.stack([b, s + normal[1] ** 2 * c, -normal[1]])
+    return (center[None] + (r * jnp.cos(phi))[:, None] * t1[None]
+            + (r * jnp.sin(phi))[:, None] * t2[None])
+
+
+def _direct_light(key, p, n, alb, scene, light, chunk):
+    """Next-event estimation against one disk area light.
+
+    light: dict(center (3,), normal (3,), radius (), radiance (3,)).
+    Returns per-ray RGB contribution (R, 3) (no throughput applied).
+    """
+    lp = _disk_sample(key, light["center"], light["normal"],
+                      light["radius"], p.shape[0])
+    wi = lp - p
+    dist = jnp.linalg.norm(wi, axis=-1) + 1e-9
+    wi = wi / dist[:, None]
+    cos_s = jnp.maximum(jnp.sum(n * wi, axis=-1), 0.0)
+    cos_l = jnp.maximum(jnp.sum(-wi * light["normal"][None], axis=-1), 0.0)
+    t_sh, _, _, _ = intersect(p + _RAY_EPS * n, wi, scene, chunk=chunk)
+    vis = (t_sh >= dist - 2.0 * _RAY_EPS).astype(p.dtype)
+    area = jnp.pi * light["radius"] ** 2
+    # solid-angle form factor of the sampled point (pdf = 1/area)
+    geom = cos_s * cos_l * area / (dist ** 2 + 1e-9)
+    return (alb / jnp.pi) * (geom * vis)[:, None] * light["radiance"][None]
+
+
+def render_scene(scene: Scene, key, *, img_size: int, light: dict,
+                 env_radiance, spp: int = 8, n_bounces: int = 2,
+                 chunk: int = 8192):
+    """Path-trace one scene with an orthographic pixel camera.
+
+    Camera: one ray per pixel at integer (x, y) — the same sample points
+    `render/rasterize.py` tests, so masks align pixel-for-pixel — with
+    direction +z (matching the rasterizer's smaller-z-is-closer
+    convention). Returns
+    (rgb (H, W, 3) linear radiance with NO environment on primary miss —
+    background compositing stays outside, as with the rasterizer — and
+    mask (H, W) primary-hit coverage).
+    """
+    H = W = img_size
+    xs = jnp.arange(W, dtype=jnp.float32)
+    px, py = jnp.meshgrid(xs, xs)
+    R = H * W
+    o0 = jnp.stack([px.reshape(-1), py.reshape(-1),
+                    jnp.full((R,), -1e4, jnp.float32)], axis=-1)
+    d0 = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), (R, 3))
+    env_radiance = jnp.asarray(env_radiance, jnp.float32)
+
+    # deterministic primary hit, shared by every sample
+    t0, tri0, u0, v0 = intersect(o0, d0, scene, chunk=chunk)
+    hit0 = jnp.isfinite(t0)
+    p0 = o0 + jnp.where(hit0, t0, 0.0)[:, None] * d0
+    n0 = _interp(scene.n_vert, tri0, u0, v0)
+    n0 = n0 / (jnp.linalg.norm(n0, axis=-1, keepdims=True) + 1e-9)
+    # hands are closed surfaces viewed from -z: orient normals toward
+    # the incoming ray so bounce hemispheres never point inside
+    n0 = jnp.where(jnp.sum(n0 * d0, -1, keepdims=True) > 0, -n0, n0)
+    alb0 = jnp.clip(_interp(scene.a_vert, tri0, u0, v0), 0.0, 1.0)
+
+    def one_sample(key):
+        keys = jax.random.split(key, 2 * n_bounces + 2)
+        # standard iterative path tracing with next-event estimation:
+        # at each path vertex, add throughput * NEE, then extend the
+        # path with a cosine-weighted bounce (whose cos/pi / pdf ratio
+        # reduces the throughput update to just the albedo).
+        throughput = hit0[:, None].astype(jnp.float32)
+        radiance = throughput * _direct_light(keys[0], p0, n0, alb0,
+                                              scene, light, chunk)
+        alive = hit0
+        p, n, alb = p0, n0, alb0
+        for b in range(n_bounces):
+            throughput = throughput * alb
+            d = _cosine_sample(n, keys[2 * b + 1])
+            t, tri, u, v = intersect(p + _RAY_EPS * n, d, scene,
+                                     chunk=chunk)
+            hit = jnp.isfinite(t) & alive
+            escaped = alive & ~jnp.isfinite(t)
+            radiance = radiance + jnp.where(
+                escaped[:, None], throughput * env_radiance[None], 0.0)
+            p = p + _RAY_EPS * n + jnp.where(hit, t, 0.0)[:, None] * d
+            n_new = _interp(scene.n_vert, tri, u, v)
+            n_new = n_new / (jnp.linalg.norm(n_new, axis=-1,
+                                             keepdims=True) + 1e-9)
+            n = jnp.where(jnp.sum(n_new * d, -1, keepdims=True) > 0,
+                          -n_new, n_new)
+            alb = jnp.clip(_interp(scene.a_vert, tri, u, v), 0.0, 1.0)
+            radiance = radiance + jnp.where(
+                hit[:, None],
+                throughput * _direct_light(keys[2 * b + 2], p, n, alb,
+                                           scene, light, chunk),
+                0.0)
+            alive = hit
+        return radiance
+
+    acc = jnp.zeros((R, 3), jnp.float32)
+    for i in range(spp):
+        acc = acc + one_sample(jax.random.fold_in(key, i))
+    rgb = (acc / spp).reshape(H, W, 3)
+    return rgb, hit0.reshape(H, W).astype(jnp.float32)
+
+
+class TwoHandPathTracer:
+    """Path-traced counterpart of `TwoHandRenderer.render_rgb_orth`.
+
+    Same camera model (per-hand orthographic scale/trans2d); z is scaled
+    into pixels by the mean of the two hands' pixel scales so the merged
+    scene is a single isotropic space.
+    """
+
+    def __init__(self, assets, img_size: int = 256):
+        self.img_size = img_size
+        fl = assets.left.mano.faces
+        fr = assets.right.mano.faces + assets.left.mano.v_template.shape[0]
+        self.faces = jnp.concatenate([fl, fr], axis=0)
+        self.num_verts = (assets.left.mano.v_template.shape[0]
+                          + assets.right.mano.v_template.shape[0])
+
+    def render(self, scale, trans2d, verts_left, verts_right, albedo,
+               key, *, light_dir=None, light_radiance=3.0,
+               env_radiance=(0.25, 0.25, 0.25), spp: int = 8,
+               n_bounces: int = 2, tonemap: bool = True):
+        """Render a batch. scale/trans2d: {'left','right'} of (B,)/(B, 2);
+        verts_*: (B, 778, 3) metres; albedo: (B, 2V, 3).
+
+        light_dir (B, 3) points FROM the light TOWARD the scene (the
+        rasterizer's convention); the disk light is placed up-stream of
+        the scene centre along -light_dir.
+        Returns (rgb (B, H, W, 3) in [0, 1] if tonemap, mask (B, H, W)).
+        """
+        S = self.img_size
+        if light_dir is None:
+            light_dir = jnp.broadcast_to(
+                jnp.array([0.4, -0.3, -0.85]), (verts_left.shape[0], 3))
+        light_dir = light_dir / (jnp.linalg.norm(light_dir, axis=-1,
+                                                 keepdims=True) + 1e-9)
+
+        def one(sc_l, sc_r, tr_l, tr_r, vl, vr, alb, ld, k):
+            xy_l = orthographic_project(sc_l, tr_l, vl, S)
+            xy_r = orthographic_project(sc_r, tr_r, vr, S)
+            k_pix = 0.5 * (sc_l + sc_r) * S        # pixels per metre
+            verts = jnp.concatenate([
+                jnp.concatenate([xy_l, (vl[:, 2:] * k_pix)], axis=-1),
+                jnp.concatenate([xy_r, (vr[:, 2:] * k_pix)], axis=-1),
+            ], axis=0)
+            scene = build_scene(verts, self.faces, alb)
+            centre = jnp.mean(verts, axis=0)
+            extent = jnp.max(jnp.linalg.norm(verts - centre, axis=-1))
+            light = {
+                "center": centre - ld * (extent * 4.0 + 1.0),
+                "normal": ld,
+                "radius": extent * 1.5 + 1e-3,
+                # scale radiance so the form factor ~ O(1) at the scene
+                "radiance": jnp.full((3,), light_radiance, jnp.float32)
+                * (extent * 4.0 + 1.0) ** 2 / (jnp.pi * (extent * 1.5
+                                                         + 1e-3) ** 2),
+            }
+            return render_scene(scene, k, img_size=S, light=light,
+                                env_radiance=env_radiance, spp=spp,
+                                n_bounces=n_bounces)
+
+        keys = jax.random.split(key, verts_left.shape[0])
+        rgb, mask = jax.vmap(one)(
+            scale["left"], scale["right"], trans2d["left"],
+            trans2d["right"], verts_left, verts_right, albedo,
+            light_dir, keys)
+        if tonemap:
+            rgb = rgb / (1.0 + rgb)                # Reinhard
+            rgb = jnp.clip(rgb, 0.0, 1.0) ** (1.0 / 2.2)
+        return rgb, mask

@@ -74,3 +74,58 @@ def test_two_hand_renderer_mask():
     left_half = m[:, :32].mean()
     right_half = m[:, 32:].mean()
     assert left_half > 0.01 and right_half > 0.01
+
+
+def test_ao_and_soft_shadow_shading():
+    """AO/soft-shadow terms (Bunnell disk occlusion): with two meshes
+    close together, occlusion must darken the lit render without touching
+    coverage, and the raw per-vertex terms must dip where the meshes
+    face each other."""
+    from renderih_tpu.assets import make_synthetic_assets
+    from renderih_tpu.render.renderer import (
+        TwoHandRenderer,
+        _occlusion_terms,
+        _vertex_areas,
+        _vertex_normals,
+    )
+
+    assets = make_synthetic_assets(seed=0)
+    r = TwoHandRenderer(assets, img_size=64)
+    b = 1
+    vl = jnp.broadcast_to(assets.left.mano.v_template, (b, 778, 3))
+    # overlapping: right sphere shifted only slightly in x and toward
+    # the camera so the two surfaces nearly touch
+    vr = jnp.broadcast_to(
+        assets.right.mano.v_template
+        + jnp.asarray([0.12, 0.0, -0.05]), (b, 778, 3))
+    scale = {"left": jnp.full((b,), 0.8), "right": jnp.full((b,), 0.8)}
+    trans2d = {"left": jnp.asarray([[-0.15, 0.0]]),
+               "right": jnp.asarray([[0.15, 0.0]])}
+    light = jnp.asarray([[0.6, 0.0, -0.8]])
+
+    rgb0, mask0 = jax.jit(
+        lambda *a: r.render_rgb_orth(*a, light_dir=light,
+                                     ambient=jnp.full((b, 3), 0.3)))(
+        scale, trans2d, vl, vr)
+    rgb1, mask1 = jax.jit(
+        lambda *a: r.render_rgb_orth(*a, light_dir=light,
+                                     ambient=jnp.full((b, 3), 0.3),
+                                     ao=0.8, soft_shadow=0.8))(
+        scale, trans2d, vl, vr)
+    np.testing.assert_array_equal(np.asarray(mask0), np.asarray(mask1))
+    m = np.asarray(mask0[0]) > 0
+    lit0 = np.asarray(rgb0[0])[m].mean()
+    lit1 = np.asarray(rgb1[0])[m].mean()
+    assert lit1 < lit0, (lit1, lit0)  # occlusion darkens
+    assert lit1 > 0.1 * lit0  # ...but doesn't black out the render
+
+    # raw terms: in [0, 1], and genuinely active (some vertex occluded)
+    verts = jnp.concatenate([vl[0], vr[0]], axis=0)
+    normals = _vertex_normals(verts, r.faces)
+    areas = _vertex_areas(verts, r.faces)
+    ao_v, sh_v = _occlusion_terms(verts, normals, areas, light[0])
+    ao_v, sh_v = np.asarray(ao_v), np.asarray(sh_v)
+    assert ao_v.min() >= 0.0 and ao_v.max() <= 1.0
+    assert sh_v.min() >= 0.0 and sh_v.max() <= 1.0
+    assert ao_v.min() < 0.98  # something is occluded
+    assert sh_v.min() < 0.98  # something is shadowed

@@ -15,11 +15,16 @@ TPU-native replacement for the reference's offline synthetic pipeline
   4. project labels with the sampled orthographic cameras
   5. write a packed dataset ready for training
 
-Visual fidelity is below Blender's path tracer (no global illumination,
-no image backgrounds); geometric annotation fidelity is identical — and
-the whole loop runs on the TPU.
+`--renderer pathtrace` switches step 3 to the in-framework Monte-Carlo
+path tracer (`render/pathtrace.py`): area-light soft shadows, diffuse
+interreflection and environment light — the physics Blender/Cycles
+contributes to RenderIH's sim-to-real quality — still entirely on TPU.
+The default rasterizer remains for fast generation; geometric
+annotation fidelity is identical either way.
 
   python tools/synth_gen.py --out packed_syn/ --n 512 [--optimize]
+  python tools/synth_gen.py --out packed_syn/ --n 512 \
+      --renderer pathtrace --spp 8 --bounces 2
 """
 
 import argparse
@@ -53,6 +58,16 @@ def main():
                    help="directory of background images to composite over "
                         "(reference Blender-pipeline behavior); procedural "
                         "backgrounds when omitted")
+    p.add_argument("--renderer", choices=("raster", "pathtrace"),
+                   default="raster",
+                   help="raster: fast Phong rasterizer; pathtrace: "
+                        "Monte-Carlo path tracing (area-light soft "
+                        "shadows, GI) matching the reference's Blender "
+                        "fidelity (render/pathtrace.py)")
+    p.add_argument("--spp", type=int, default=8,
+                   help="samples per pixel for --renderer pathtrace")
+    p.add_argument("--bounces", type=int, default=2,
+                   help="indirect bounces for --renderer pathtrace")
     args = p.parse_args()
 
     import jax
@@ -75,6 +90,11 @@ def main():
     cfg = Config()
     assets = load_assets(cfg.assets)
     renderer = TwoHandRenderer(assets, IMG_SIZE)
+    tracer = None
+    if args.renderer == "pathtrace":
+        from renderih_tpu.render.pathtrace import TwoHandPathTracer
+
+        tracer = TwoHandPathTracer(assets, IMG_SIZE)
     corpus = (BackgroundCorpus(args.backgrounds, IMG_SIZE)
               if args.backgrounds else None)
     if corpus is not None:
@@ -136,11 +156,18 @@ def main():
 
         albedo = random_skin_albedo(ks[0], bs, renderer.num_verts)
         light_dir, light_color, ambient = random_lighting(ks[1], bs)
-        rgb, mask = renderer.render_rgb_orth(
-            {"left": scale, "right": scale},
-            {"left": trans_l, "right": trans_r}, v_l, v_r,
-            albedo=albedo, light_dir=light_dir, light_color=light_color,
-            ambient=ambient, specular=0.15)
+        if tracer is not None:
+            rgb, mask = tracer.render(
+                {"left": scale, "right": scale},
+                {"left": trans_l, "right": trans_r}, v_l, v_r, albedo,
+                jax.random.fold_in(ks[1], 7), light_dir=light_dir,
+                spp=args.spp, n_bounces=args.bounces)
+        else:
+            rgb, mask = renderer.render_rgb_orth(
+                {"left": scale, "right": scale},
+                {"left": trans_l, "right": trans_r}, v_l, v_r,
+                albedo=albedo, light_dir=light_dir,
+                light_color=light_color, ambient=ambient, specular=0.15)
         bg = random_background(ks[2], bs, IMG_SIZE, corpus=corpus)
         noise = jax.random.normal(ks[3], rgb.shape) * 0.02
         img = jnp.clip(
