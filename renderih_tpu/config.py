@@ -123,10 +123,12 @@ class LossConfig:
     mano_pose: float = 0.5
     mano_shape: float = 0.01
     mano_rel: float = 1.0
-    # Aux heads (off in the flagship recipe, see `core/Loss.py:210-211`).
-    mask: float = 0.0
-    dense: float = 0.0
-    hms: float = 0.0
+    # Aux-head weights (reference `core/Loss.py:180-198`); only applied
+    # when `model.with_aux_heads` is on AND the batch carries targets —
+    # the flagship recipe has the heads off (`core/Loss.py:210-211`).
+    mask: float = 500.0
+    dense: float = 30.0
+    hms: float = 100.0
 
 
 @dataclass

@@ -26,6 +26,7 @@ def synthetic_batch(
     batch_size: int = 8,
     img_size: int = 256,
     bone_length: float = 0.095,
+    with_aux: bool = False,
 ) -> dict:
     keys = jax.random.split(rng, 12)
 
@@ -43,14 +44,14 @@ def synthetic_batch(
         trans2d = jax.random.uniform(k4, (batch_size, 2), minval=-0.3, maxval=0.3)
         v2d = orthographic_project(scale, trans2d, v, img_size)
         j2d = orthographic_project(scale, trans2d, j, img_size)
-        return v, j, v2d, j2d
+        return v, j, v2d, j2d, scale, trans2d
 
-    v3d_l, j3d_l, v2d_l, j2d_l = hand(assets.left.mano, *keys[0:5])
-    v3d_r, j3d_r, v2d_r, j2d_r = hand(assets.right.mano, *keys[5:10])
+    v3d_l, j3d_l, v2d_l, j2d_l, sc_l, tr_l = hand(assets.left.mano, *keys[0:5])
+    v3d_r, j3d_r, v2d_r, j2d_r, sc_r, tr_r = hand(assets.right.mano, *keys[5:10])
     root_rel = jax.random.normal(keys[10], (batch_size, 3)) * 0.05
     img = jax.random.normal(keys[11], (batch_size, img_size, img_size, 3))
 
-    return {
+    batch = {
         "img": img,
         "v3d_left": v3d_l, "j3d_left": j3d_l,
         "v2d_left": v2d_l, "j2d_left": j2d_l,
@@ -58,3 +59,65 @@ def synthetic_batch(
         "v2d_right": v2d_r, "j2d_right": j2d_r,
         "root_rel": root_rel,
     }
+    if with_aux:
+        batch.update(synthetic_aux_targets(
+            assets, img_size,
+            {"left": sc_l, "right": sc_r}, {"left": tr_l, "right": tr_r},
+            {"left": v3d_l, "right": v3d_r},
+            {"left": j2d_l, "right": j2d_r}))
+    return batch
+
+
+def synthetic_aux_targets(
+    assets: Assets,
+    img_size: int,
+    scale: dict,
+    trans2d: dict,
+    v3d: dict,
+    j2d: dict,
+) -> dict:
+    """Geometry-consistent hms/mask/dense targets at the aux-head
+    resolution (img_size // 4).
+
+    The reference generates these offline with PyTorch3D renders +
+    `HeatmapGenerator` (`miscellaneous/interhand_ori_gen.py`); here they
+    come from the JAX rasterizer and `ops.heatmap.gaussian_heatmaps` so
+    the aux-head training path (`calc_aux_loss`, `core/Loss.py:180-198`)
+    is exercisable end to end without real data: 'hms' (B, S, S, 42) =
+    21 left + 21 right joint Gaussians, 'mask' (B, S, S) = rendered
+    two-hand silhouette, 'dense' (B, S, S, 6) = per-hand vertex-color
+    (densepose-style) renders, left channels first.
+    """
+    from renderih_tpu.assets import _dense_color_from_template
+    from renderih_tpu.ops.heatmap import gaussian_heatmaps
+    from renderih_tpu.render.rasterize import rasterize_orthographic
+    from renderih_tpu.render.renderer import TwoHandRenderer
+
+    s = img_size // 4
+    j_all = jnp.concatenate([j2d["left"], j2d["right"]], axis=1)
+    hms = gaussian_heatmaps(j_all * (s / img_size), size=s,
+                            sigma=max(s / 32.0, 1.0))
+    hms = jnp.transpose(hms, (0, 2, 3, 1))  # (B, S, S, 42)
+
+    renderer = TwoHandRenderer(assets, img_size=s)
+    mask = renderer.render_mask(scale, trans2d, v3d["left"], v3d["right"])
+    mask = (mask > 0).astype(jnp.float32)
+
+    def hand_dense(hand_assets, sc, tr, v):
+        colors = jnp.asarray(
+            _dense_color_from_template(hand_assets.mano), jnp.float32)
+        v2d = orthographic_project(sc, tr, v, s)
+
+        def one(v2d_i, z_i):
+            attr, m, _ = rasterize_orthographic(
+                v2d_i, z_i, colors, hand_assets.mano.faces,
+                height=s, width=s)
+            return attr * m[..., None]
+
+        return jax.vmap(one)(v2d, v[..., 2])
+
+    dense = jnp.concatenate(
+        [hand_dense(assets.left, scale["left"], trans2d["left"], v3d["left"]),
+         hand_dense(assets.right, scale["right"], trans2d["right"],
+                    v3d["right"])], axis=-1)
+    return {"hms": hms, "mask": mask, "dense": dense}

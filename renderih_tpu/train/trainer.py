@@ -107,6 +107,19 @@ def make_train_step(
                 out, batch, assets, epoch, weights,
                 upsample_weight=up_w, img_size=cfg.model.img_size,
             )
+            # Aux-head supervision (`calc_aux_loss`, `core/Loss.py:180-198`)
+            # when the heads are on and the batch has rendered targets.
+            if cfg.model.with_aux_heads and out.aux is not None \
+                    and "hms" in batch:
+                from renderih_tpu.losses.graph_loss import aux_losses
+
+                at = aux_losses(out.aux, batch, w_mask=cfg.loss.mask,
+                                w_dense=cfg.loss.dense, w_hms=cfg.loss.hms)
+                total = total + at["total"]
+                terms = {**terms,
+                         **{f"aux_{k}": v for k, v in at.items()
+                            if k != "total"},
+                         "total": total}
             # MANO-parameter supervision for the `mano` decoder variant
             # (reference `mano_loss_GCN`, `core/Loss_mano.py:245-335`).
             if cfg.model.decoder == "mano" and "pose_left" in batch:
