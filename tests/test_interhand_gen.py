@@ -328,3 +328,133 @@ def test_single_hand_pack(official_tree, tmp_path):
         root, "right", mano["0"]["101"]["right"])
     np.testing.assert_allclose(batch["v3d_right"][0], v_c, atol=1e-6)
     np.testing.assert_allclose(batch["pose_right"][0], pose_full, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Adversarial official-format fixtures: malformed entries must fail with a
+# CLEAR error naming the offending capture/frame/hand — never silently pack
+# garbage. Contract source: `utils/dataset_gen/interhand.py:88-183,252-291`.
+# ---------------------------------------------------------------------------
+
+import shutil
+
+
+def _clone_tree(official_tree, tmp_path, mutate):
+    """Copy the fake official release and let `mutate(data, cams, mano)`
+    corrupt the JSON dicts before re-writing them."""
+    root, split, _ = official_tree
+    dst = tmp_path / "mutated"
+    shutil.copytree(root, dst)
+    ann = dst / "annotations" / split
+    names = {
+        "data": ann / f"InterHand2.6M_{split}_data.json",
+        "camera": ann / f"InterHand2.6M_{split}_camera.json",
+        "mano": ann / f"InterHand2.6M_{split}_MANO_NeuralAnnot.json",
+    }
+    loaded = {k: json.load(open(p)) for k, p in names.items()}
+    mutate(loaded["data"], loaded["camera"], loaded["mano"])
+    for k, p in names.items():
+        with open(p, "w") as f:
+            json.dump(loaded[k], f)
+    return dst, split
+
+
+def _gen_argv(root, split, out, hand_type="interacting"):
+    return ["--data", str(root), "--split", split,
+            "--mano-left", str(root / "mano_left.npz"),
+            "--mano-right", str(root / "mano_right.npz"),
+            "--out", str(out), "--hand_type", hand_type]
+
+
+def test_malformed_pose_length_clear_error(official_tree, tmp_path):
+    def mutate(data, cams, mano):
+        mano["0"]["100"]["right"]["pose"] = [0.0] * 45  # 48 expected
+
+    root, split = _clone_tree(official_tree, tmp_path, mutate)
+    gen = _load("interhand_gen")
+    with pytest.raises(ValueError, match=r"capture 0 frame 100.*'right'.*"
+                                         r"'pose' has 45 values"):
+        gen.main(_gen_argv(root, split, tmp_path / "out"))
+
+
+def test_non_numeric_trans_clear_error(official_tree, tmp_path):
+    def mutate(data, cams, mano):
+        mano["1"]["201"]["left"]["trans"] = ["a", "b", "c"]
+
+    root, split = _clone_tree(official_tree, tmp_path, mutate)
+    gen = _load("interhand_gen")
+    with pytest.raises(ValueError, match=r"capture 1 frame 201.*'left'"):
+        gen.main(_gen_argv(root, split, tmp_path / "out"))
+
+
+def test_non_dict_mano_entry_clear_error(official_tree, tmp_path):
+    def mutate(data, cams, mano):
+        mano["0"]["100"]["right"] = [1.0, 2.0]  # not a dict
+
+    root, split = _clone_tree(official_tree, tmp_path, mutate)
+    gen = _load("interhand_gen")
+    with pytest.raises(ValueError, match="expected a dict"):
+        gen.main(_gen_argv(root, split, tmp_path / "out"))
+
+
+def test_nested_pose_arrays_accepted(official_tree, tmp_path):
+    """Real-world NeuralAnnot exports sometimes nest (1, 48) — accept."""
+    def mutate(data, cams, mano):
+        for cap in mano.values():
+            for frame in cap.values():
+                if not frame:
+                    continue
+                for hand in frame.values():
+                    if hand:
+                        hand["pose"] = [hand["pose"]]  # (1, 48)
+                        hand["shape"] = [hand["shape"]]
+
+    root, split = _clone_tree(official_tree, tmp_path, mutate)
+    gen = _load("interhand_gen")
+    out = tmp_path / "out_nested"
+    gen.main(_gen_argv(root, split, out))
+    got = PackedInterHand.load(str(out), split, use_native=False)
+    assert len(got) == 2
+    assert got.batch(np.arange(2))["v3d_right"].any()
+
+
+def test_unknown_image_id_clear_error(official_tree, tmp_path):
+    def mutate(data, cams, mano):
+        data["annotations"][0]["image_id"] = 999
+
+    root, split = _clone_tree(official_tree, tmp_path, mutate)
+    gen = _load("interhand_gen")
+    with pytest.raises(ValueError, match="image_id 999"):
+        gen.main(_gen_argv(root, split, tmp_path / "out"))
+
+
+def test_missing_camera_clear_error(official_tree, tmp_path):
+    def mutate(data, cams, mano):
+        del cams["0"]["campos"]["400002"]
+
+    root, split = _clone_tree(official_tree, tmp_path, mutate)
+    gen = _load("interhand_gen")
+    with pytest.raises(ValueError, match="camera '400002' of capture '0'"):
+        gen.main(_gen_argv(root, split, tmp_path / "out"))
+
+
+def test_missing_image_file_clear_error(official_tree, tmp_path):
+    root, split = _clone_tree(official_tree, tmp_path,
+                              lambda *a: None)
+    victim = (root / "images" / split / "Capture0" / "cam400002"
+              / "image100.png")
+    victim.unlink()
+    gen = _load("interhand_gen")
+    with pytest.raises(FileNotFoundError, match="image100.png"):
+        gen.main(_gen_argv(root, split, tmp_path / "out"))
+
+
+def test_left_single_hand_pack(official_tree, tmp_path):
+    """--hand_type left on a tree with no left-only frames -> 0 frames,
+    valid (empty) pack, no crash."""
+    root, split, _ = official_tree
+    gen = _load("interhand_gen")
+    out = tmp_path / "packed_l"
+    gen.main(_gen_argv(root, split, out, hand_type="left"))
+    labels = np.load(out / f"{split}_labels.npz")
+    assert labels["v3d_left"].shape[0] == 0

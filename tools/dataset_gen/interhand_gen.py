@@ -59,6 +59,35 @@ def cam_project(cam_pts, focal, princpt):
     return uv * np.asarray(focal)[None] + np.asarray(princpt)[None]
 
 
+def validate_mano_entry(entry, cap, frame, hand):
+    """Check one NeuralAnnot hand fit; return (pose48, shape10, trans3).
+
+    Official schema (`InterHand2.6M_{split}_MANO_NeuralAnnot.json`):
+    pose = 48 floats (3 global + 45 hand, flat-hand-mean EXCLUDED),
+    shape = 10, trans = 3 (metres). Real-world exports sometimes nest
+    these one level deep ((1, 48) lists) — accept that, but fail loudly
+    on anything else instead of packing silent garbage.
+    """
+    where = f"NeuralAnnot capture {cap} frame {frame} hand '{hand}'"
+    if not isinstance(entry, dict):
+        raise ValueError(f"{where}: expected a dict, got {type(entry).__name__}")
+    out = []
+    for key, want in (("pose", 48), ("shape", 10), ("trans", 3)):
+        if key not in entry:
+            raise ValueError(f"{where}: missing '{key}'")
+        try:
+            arr = np.asarray(entry[key], np.float64).reshape(-1)
+        except (TypeError, ValueError) as e:
+            raise ValueError(f"{where}: non-numeric '{key}': {e}") from None
+        if arr.size != want:
+            raise ValueError(
+                f"{where}: '{key}' has {arr.size} values, expected {want}")
+        if not np.all(np.isfinite(arr)):
+            raise ValueError(f"{where}: non-finite values in '{key}'")
+        out.append(arr)
+    return tuple(out)
+
+
 def run_mano_np(mano_npz, pose48, shape10, trans3):
     """MANO forward in numpy via the JAX layer (CPU)."""
     import jax
@@ -121,6 +150,11 @@ def main(argv=None):
         if args.hand_type != "all" and ht != args.hand_type:
             continue
         hands_needed = ("left", "right") if ht == "interacting" else (ht,)
+        if ann.get("image_id") not in images_by_id:
+            raise ValueError(
+                f"annotation id {ann.get('id')} references image_id "
+                f"{ann.get('image_id')!r}, which is not in the 'images' "
+                f"table of InterHand2.6M_{args.split}_data.json")
         im = images_by_id[ann["image_id"]]
         cap = str(im["capture"])
         frame = str(im["frame_idx"])
@@ -134,17 +168,26 @@ def main(argv=None):
     print(f"{n} '{args.hand_type}' frames with MANO")
 
     os.makedirs(args.out, exist_ok=True)
+    labels = {k: np.zeros((n,) + _label_shape(k), np.float32)
+              for k in LABEL_KEYS}
+    if n == 0:  # valid empty pack (np.memmap cannot map zero bytes)
+        open(os.path.join(args.out, f"{args.split}_images.u8"), "wb").close()
+        np.savez(os.path.join(args.out, f"{args.split}_labels.npz"), **labels)
+        print(f"packed 0 samples -> {args.out}")
+        return
     images = np.memmap(
         os.path.join(args.out, f"{args.split}_images.u8"), dtype=np.uint8,
         mode="w+", shape=(n, IMG_SIZE, IMG_SIZE, 3),
     )
-    labels = {k: np.zeros((n,) + _label_shape(k), np.float32)
-              for k in LABEL_KEYS}
 
     for i, (ann, im, hands) in enumerate(selected):
         cap = str(im["capture"])
         frame = str(im["frame_idx"])
         cam = str(im["camera"])
+        if cap not in cameras or cam not in cameras[cap].get("campos", {}):
+            raise ValueError(
+                f"camera {cam!r} of capture {cap!r} missing from "
+                f"InterHand2.6M_{args.split}_camera.json")
         campos = np.asarray(cameras[cap]["campos"][cam], np.float64) / 1000.0
         camrot = np.asarray(cameras[cap]["camrot"][cam], np.float64)
         focal = cameras[cap]["focal"][cam]
@@ -153,15 +196,17 @@ def main(argv=None):
         img_path = os.path.join(args.data, "images", args.split,
                                 im["file_name"])
         bgr = cv.imread(img_path)
+        if bgr is None:
+            raise FileNotFoundError(
+                f"image for annotation {ann['id']} missing or unreadable: "
+                f"{img_path}")
         rgb = cv.cvtColor(bgr, cv.COLOR_BGR2RGB)
 
         per_hand = {}
         all2d = []
         for hand in hands:
-            mp = mano_params[cap][frame][hand]
-            pose = np.asarray(mp["pose"], np.float64)
-            shape = np.asarray(mp["shape"], np.float64)
-            trans = np.asarray(mp["trans"], np.float64)
+            pose, shape, trans = validate_mano_entry(
+                mano_params[cap][frame][hand], cap, frame, hand)
             # The NeuralAnnot hand pose excludes the flat-hand mean; the
             # reference folds it back in via its full-rank axis2pca ->
             # pca2axis round trip (`utils/dataset_gen/interhand.py:164-167`
