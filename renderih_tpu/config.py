@@ -95,6 +95,13 @@ class TrainConfig:
     # (memory-for-FLOPs; measured SLOWER at the flagship batch sizes
     # where memory is not binding — A/B knob, off by default).
     remat_encoder: bool = False
+    # Gradient accumulation: split each per-step batch into this many
+    # sequential micro-batches (lax.scan) and apply the averaged
+    # gradient once. Peak activation memory scales with the micro-batch;
+    # step/LR/EMA/NaN-guard semantics are identical to one big batch
+    # (BN statistics are chained through the micro-batches, the usual
+    # accumulation-loop convention). batch_size % grad_accum == 0.
+    grad_accum: int = 1
     # Skip (don't apply) any update whose loss is non-finite instead of
     # poisoning params/optimizer/BN state; reported per step as
     # `skipped_nonfinite`.

@@ -90,30 +90,32 @@ def make_train_step(
     weights = loss_weights_from_cfg(cfg)
     tx = make_frozen_optimizer(cfg, steps_per_epoch, params_template)
 
+    accum = max(1, int(getattr(cfg.train, "grad_accum", 1)))
+
     def step_fn(state: TrainState, batch: dict, rng: jax.Array):
         epoch = state.step // steps_per_epoch
 
-        def loss_fn(params):
+        def loss_fn(params, bstats, mb, mrng):
             out, mutated = model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
-                batch["img"],
+                {"params": params, "batch_stats": bstats},
+                mb["img"],
                 train=True,
                 **call_kwargs,
-                rngs={"dropout": rng},
+                rngs={"dropout": mrng},
                 mutable=["batch_stats"],
             )
             up_w = params["decoder"]["upsample_weight"]
             total, terms = two_hand_graph_loss(
-                out, batch, assets, epoch, weights,
+                out, mb, assets, epoch, weights,
                 upsample_weight=up_w, img_size=cfg.model.img_size,
             )
             # Aux-head supervision (`calc_aux_loss`, `core/Loss.py:180-198`)
             # when the heads are on and the batch has rendered targets.
             if cfg.model.with_aux_heads and out.aux is not None \
-                    and "hms" in batch:
+                    and "hms" in mb:
                 from renderih_tpu.losses.graph_loss import aux_losses
 
-                at = aux_losses(out.aux, batch, w_mask=cfg.loss.mask,
+                at = aux_losses(out.aux, mb, w_mask=cfg.loss.mask,
                                 w_dense=cfg.loss.dense, w_hms=cfg.loss.hms)
                 total = total + at["total"]
                 terms = {**terms,
@@ -122,10 +124,10 @@ def make_train_step(
                          "total": total}
             # MANO-parameter supervision for the `mano` decoder variant
             # (reference `mano_loss_GCN`, `core/Loss_mano.py:245-335`).
-            if cfg.model.decoder == "mano" and "pose_left" in batch:
+            if cfg.model.decoder == "mano" and "pose_left" in mb:
                 from renderih_tpu.losses.mano_loss import mano_param_losses
 
-                mt = mano_param_losses(out, batch)
+                mt = mano_param_losses(out, mb)
                 total = total + (
                     cfg.loss.mano_pose * mt["pose"]
                     + cfg.loss.mano_shape * mt["shape"]
@@ -135,9 +137,49 @@ def make_train_step(
                          "total": total}
             return total, (terms, mutated["batch_stats"])
 
-        (_, (terms, new_bs)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(state.params)
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+        if accum == 1:
+            (_, (terms, new_bs)), grads = grad_fn(
+                state.params, state.batch_stats, batch, rng)
+        else:
+            # Gradient accumulation: scan over `accum` sequential
+            # micro-batches (peak activation memory scales with the
+            # micro-batch), summing gradients and loss terms in the carry
+            # and chaining BN statistics through, then apply the averaged
+            # gradient exactly once. The per-step semantics (step counter,
+            # LR schedule, EMA, NaN guard over the AVERAGED gradient) are
+            # identical to the unaccumulated path.
+            b = batch["img"].shape[0]
+            assert b % accum == 0, (
+                f"batch_size {b} not divisible by grad_accum {accum}")
+            micro = jax.tree_util.tree_map(
+                lambda v: v.reshape(accum, b // accum, *v.shape[1:]), batch)
+            rngs = jax.random.split(rng, accum)
+            first = jax.tree_util.tree_map(lambda v: v[0], micro)
+            out_sd = jax.eval_shape(grad_fn, state.params,
+                                    state.batch_stats, first, rng)
+            (_, (terms_sd, _)), grads_sd = out_sd
+            zeros = lambda sd: jax.tree_util.tree_map(
+                lambda s: jnp.zeros(s.shape, s.dtype), sd)
+
+            def body(carry, xs):
+                bstats, gsum, tsum = carry
+                mb, r = xs
+                if mesh is not None:
+                    mb = jax.tree_util.tree_map(
+                        lambda v: jax.lax.with_sharding_constraint(
+                            v, NamedSharding(mesh, P("data"))), mb)
+                (_, (t_i, nbs)), g_i = grad_fn(state.params, bstats, mb, r)
+                gsum = jax.tree_util.tree_map(jnp.add, gsum, g_i)
+                tsum = jax.tree_util.tree_map(jnp.add, tsum, t_i)
+                return (nbs, gsum, tsum), None
+
+            (new_bs, gsum, tsum), _ = jax.lax.scan(
+                body, (state.batch_stats, zeros(grads_sd), zeros(terms_sd)),
+                (micro, rngs))
+            grads = jax.tree_util.tree_map(lambda g: g / accum, gsum)
+            terms = jax.tree_util.tree_map(lambda t: t / accum, tsum)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         d = cfg.train.ema_decay

@@ -115,8 +115,47 @@ def im2col_conv_chain(b, h, c, k=3):
     return run
 
 
+def rect_mm_chain(dtype, acc_dtype, m, k, n):
+    """Chained rectangular GEMM (ViT dense shapes). Output is sliced back
+    to (m, k) through a cheap cast so the chain stays live."""
+    @jax.jit
+    def run(x):
+        w = jnp.ones((k, n), dtype)
+
+        def body(_, acc):
+            y = jax.lax.dot(acc, w, preferred_element_type=acc_dtype)
+            if n < k:  # fc2: pad back up to (m, k) to keep the chain
+                y = jnp.pad(y, ((0, 0), (0, k - n)))
+            if dtype == jnp.int8:
+                return (y[:, :k] & 3).astype(jnp.int8)
+            return (y[:, :k] * 1e-3).astype(dtype)
+
+        y = jax.lax.fori_loop(0, ITERS, body, x)
+        return y.astype(jnp.float32).sum()
+
+    return run
+
+
 def main():
     print(f"device: {jax.devices()[0].device_kind}", flush=True)
+
+    if os.environ.get("PROBE_VIT"):
+        # ViT-B bs128 dense shapes: M = 128 * 257 tokens
+        m = 128 * 257
+        for (k, n, tag) in ((768, 2304, "qkv"), (768, 768, "proj"),
+                            (768, 3072, "fc1"), (3072, 768, "fc2")):
+            xb = jnp.ones((m, k), jnp.bfloat16)
+            x8 = jnp.ones((m, k), jnp.int8)
+            tb = _time_scalar(rect_mm_chain(jnp.bfloat16, jnp.float32,
+                                            m, k, n), xb)
+            ti = _time_scalar(rect_mm_chain(jnp.int8, jnp.int32,
+                                            m, k, n), x8)
+            fl = 2 * m * k * n
+            print(f"vit {tag} ({m}x{k})x({k}x{n}): "
+                  f"bf16 {tb*1e3:7.3f} ms ({fl/tb/1e12:6.1f} TF/s)  "
+                  f"int8 {ti*1e3:7.3f} ms ({fl/ti/1e12:6.1f} TOP/s)  "
+                  f"speedup {tb/ti:.2f}x", flush=True)
+        return
 
     for n in (4096, 8192):
         x8 = jnp.ones((n, n), jnp.int8)
