@@ -48,6 +48,11 @@ def make_optimizer(cfg: Config, steps_per_epoch: int) -> optax.GradientTransform
     if cfg.train.optimizer == "rmsprop":
         # reference alternative path (`core/lijun_trainer.py:131-144`)
         return optax.rmsprop(schedule)
+    if cfg.train.optimizer == "sgd":
+        # No reference equivalent in the recipes; used by equivalence
+        # tests (an SGD step exposes the raw gradient: g = (p0 - p1)/lr,
+        # which Adam's sign-normalizing first step hides).
+        return optax.sgd(schedule)
     raise ValueError(f"unknown optimizer {cfg.train.optimizer}")
 
 

@@ -163,6 +163,8 @@ def make_train_step(
             zeros = lambda sd: jax.tree_util.tree_map(
                 lambda s: jnp.zeros(s.shape, s.dtype), sd)
 
+            inv = jnp.float32(1.0 / accum)
+
             def body(carry, xs):
                 bstats, gsum, tsum = carry
                 mb, r = xs
@@ -171,15 +173,19 @@ def make_train_step(
                         lambda v: jax.lax.with_sharding_constraint(
                             v, NamedSharding(mesh, P("data"))), mb)
                 (_, (t_i, nbs)), g_i = grad_fn(state.params, bstats, mb, r)
-                gsum = jax.tree_util.tree_map(jnp.add, gsum, g_i)
-                tsum = jax.tree_util.tree_map(jnp.add, tsum, t_i)
+                # Divide each micro-batch gradient by `accum` BEFORE
+                # summing (order-stable: for accum=2 on duplicated
+                # micro-batches, g/2 + g/2 == g exactly; sum-then-divide
+                # is not float-associative with the plain gradient).
+                gsum = jax.tree_util.tree_map(
+                    lambda s, g: s + g * inv.astype(g.dtype), gsum, g_i)
+                tsum = jax.tree_util.tree_map(
+                    lambda s, t: s + t * inv.astype(t.dtype), tsum, t_i)
                 return (nbs, gsum, tsum), None
 
-            (new_bs, gsum, tsum), _ = jax.lax.scan(
+            (new_bs, grads, terms), _ = jax.lax.scan(
                 body, (state.batch_stats, zeros(grads_sd), zeros(terms_sd)),
                 (micro, rngs))
-            grads = jax.tree_util.tree_map(lambda g: g / accum, gsum)
-            terms = jax.tree_util.tree_map(lambda t: t / accum, tsum)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         d = cfg.train.ema_decay
@@ -251,9 +257,12 @@ def make_train_step(
     return jitted, tx
 
 
-def make_eval_step(cfg: Config, model: HandNet, assets: Assets,
-                   mesh: Mesh | None = None):
-    """Jitted inference step: (variables, img) -> DecoderOutput."""
+def make_eval_step(cfg: Config, model: HandNet, assets: Assets):
+    """Jitted inference step: (variables, img) -> DecoderOutput.
+
+    Sharded (data-parallel) evaluation lives in
+    `eval/evaluator.py:evaluate_packed(mesh=...)`, not here.
+    """
     call_kwargs = model_call_kwargs(cfg, assets)
 
     @partial(jax.jit, static_argnums=())
