@@ -133,6 +133,12 @@ def pack_reference_dataset(data_path: str, split: str, out_dir: str,
     )
     labels = {k: np.zeros((n,) + _label_shape(k), np.float32)
               for k in LABEL_KEYS}
+    # Per-frame post-crop pinhole intrinsics ('camera' in ori_handdict,
+    # `utils/dataset_gen/interhand.py:288`): enables perspective mask
+    # rendering (tools/compute_maskiou.py, render_mask_perspective).
+    # Note the packed v3d_* from real data are CAMERA-space verts.
+    camera_in = np.zeros((n, 3, 3), np.float32)
+    have_camera = True
 
     for i in range(n):
         img, hd = load_reference_sample(data_path, split, i)
@@ -141,6 +147,10 @@ def pack_reference_dataset(data_path: str, split: str, out_dir: str,
 
             img = cv.resize(img, (IMG_SIZE, IMG_SIZE))
         images[i] = img
+        if "camera" in hd.get("left", {}):
+            camera_in[i] = np.asarray(hd["left"]["camera"], np.float32)
+        else:
+            have_camera = False
         for hand in ("left", "right"):
             labels[f"v3d_{hand}"][i] = hd[hand]["verts3d"]
             labels[f"j3d_{hand}"][i] = hd[hand]["joints3d"]
@@ -160,26 +170,81 @@ def pack_reference_dataset(data_path: str, split: str, out_dir: str,
                 labels[f"shape_{hand}"][i] = np.asarray(
                     hd[hand]["shape"], np.float32).reshape(10)
     images.flush()
+    if have_camera and n > 0:
+        labels["camera_in"] = camera_in
     np.savez(os.path.join(out_dir, f"{split}_labels.npz"), **labels)
     return n
 
 
 def make_synthetic_packed(root: str, split: str, assets, n: int = 64,
-                          seed: int = 0) -> "PackedInterHand":
-    """Write a small synthetic packed dataset (tests / smoke runs)."""
+                          seed: int = 0, render_images: bool = False,
+                          reuse: bool = True) -> "PackedInterHand":
+    """Write a small synthetic packed dataset (tests / smoke runs).
+
+    With `render_images`, images are rasterized renders of the labeled
+    hands over procedural backgrounds (a LEARNABLE image->pose task —
+    used by convergence runs); otherwise uint8 noise (cheap fixtures
+    where pixel content is irrelevant). `reuse` skips regeneration when
+    a dataset with the same (n, seed, render_images) already exists —
+    resumed runs see identical data.
+    """
+    import json as _json
+
     import jax
 
     from renderih_tpu.data.synthetic import synthetic_batch
 
     os.makedirs(root, exist_ok=True)
+    meta_path = os.path.join(root, f"{split}_meta.json")
+    meta = {"n": n, "seed": seed, "render_images": bool(render_images)}
+    if reuse and os.path.exists(meta_path):
+        try:
+            if _json.load(open(meta_path)) == meta:
+                return PackedInterHand.load(root, split)
+        except Exception:
+            pass  # malformed meta: regenerate
     batch = synthetic_batch(assets, jax.random.PRNGKey(seed), batch_size=n,
-                            img_size=IMG_SIZE)
+                            img_size=IMG_SIZE, with_cam=render_images)
     images = np.memmap(
         os.path.join(root, f"{split}_images.u8"), dtype=np.uint8,
         mode="w+", shape=(n, IMG_SIZE, IMG_SIZE, 3),
     )
-    rng = np.random.default_rng(seed)
-    images[:] = rng.integers(0, 255, images.shape, dtype=np.uint8)
+    if render_images:
+        import jax.numpy as jnp
+
+        from renderih_tpu.render.backgrounds import random_background
+        from renderih_tpu.render.renderer import TwoHandRenderer
+
+        renderer = TwoHandRenderer(assets, img_size=IMG_SIZE)
+        chunk = min(64, n)
+
+        @jax.jit
+        def render_chunk(sc_l, tr_l, sc_r, tr_r, vl, vr, key):
+            rgb, mask = renderer.render_rgb_orth(
+                {"left": sc_l, "right": sc_r},
+                {"left": tr_l, "right": tr_r}, vl, vr)
+            bg = random_background(key, vl.shape[0], IMG_SIZE)
+            img01 = jnp.where(mask[..., None] > 0, rgb, bg)
+            return jnp.clip(img01 * 255.0 + 0.5, 0, 255).astype(jnp.uint8)
+
+        for s in range(0, n, chunk):
+            e = min(s + chunk, n)
+            sl = slice(s, e)
+            pad = chunk - (e - s)  # fixed-size chunks: compile once
+
+            def take(x):
+                x = jnp.asarray(x)[sl]
+                return jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
+
+            out = render_chunk(
+                take(batch["cam_scale_left"]), take(batch["cam_trans_left"]),
+                take(batch["cam_scale_right"]), take(batch["cam_trans_right"]),
+                take(batch["v3d_left"]), take(batch["v3d_right"]),
+                jax.random.fold_in(jax.random.PRNGKey(seed + 1), s))
+            images[sl] = np.asarray(out)[: e - s]
+    else:
+        rng = np.random.default_rng(seed)
+        images[:] = rng.integers(0, 255, images.shape, dtype=np.uint8)
     images.flush()
     labels = {k: np.zeros((n,) + _label_shape(k), np.float32)
               for k in LABEL_KEYS}
@@ -187,4 +252,6 @@ def make_synthetic_packed(root: str, split: str, assets, n: int = 64,
               "v3d_right", "j3d_right", "v2d_right", "j2d_right"):
         labels[k] = np.asarray(batch[k], np.float32)
     np.savez(os.path.join(root, f"{split}_labels.npz"), **labels)
+    with open(meta_path, "w") as f:
+        _json.dump(meta, f)
     return PackedInterHand.load(root, split)

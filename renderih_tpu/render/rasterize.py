@@ -3,9 +3,12 @@
 Replaces the pytorch3d `MeshRasterizer` dependency of the reference
 (`utils/vis_utils.py:14-57`) for the uses the pipeline actually has:
 hard-shaded demo overlays, binary masks and densepose/vertex-color maps
-(`utils/vis_utils.py:206-289`). Not a general renderer — orthographic
-cameras only, one face per pixel (hard z-test), flat barycentric
-interpolation.
+(`utils/vis_utils.py:206-289`). Not a general renderer — one face per
+pixel (hard z-test), flat (non-perspective-correct) barycentric
+interpolation. The rasterizer itself is camera-agnostic: it consumes
+already-projected pixel coords + a depth key, so both the orthographic
+(`ops/projection.py:orthographic_project`) and pinhole
+(`ops/projection.py:pinhole_project`) cameras feed it.
 
 Formulation: per (pixel, face) edge-function test, vectorized as einsums,
 processed in pixel-row blocks through `lax.map` to bound memory. For a

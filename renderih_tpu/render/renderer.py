@@ -2,7 +2,10 @@
 
 Covers the rendering capabilities the pipeline uses
 (`utils/vis_utils.py:153-289`): RGB overlay from predicted orthographic
-cameras (`render_rgb_orth`), binary masks (`render_mask`) and
+cameras (`render_rgb_orth`), RGB/masks through per-frame pinhole
+intrinsics (`render_rgb_perspective`/`render_mask_perspective` — the
+reference's `PerspectiveCameras`-from-`cameraIn` path,
+`utils/vis_utils.py:72-80`), binary masks (`render_mask`) and
 vertex-color / densepose maps (`render_densepose`). Shading is Lambertian
 per-vertex (a light pointing down the camera axis), which matches the
 hard-Phong look of the reference demo overlays closely enough for
@@ -16,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from renderih_tpu.assets import Assets
-from renderih_tpu.ops.projection import orthographic_project
+from renderih_tpu.ops.projection import orthographic_project, pinhole_project
 from renderih_tpu.render.rasterize import rasterize_orthographic
 
 _LEFT_COLOR = np.array([0.4, 0.55, 0.85])
@@ -143,8 +146,38 @@ class TwoHandRenderer:
                                      verts_right, self.img_size)
         v2d = jnp.concatenate([v2d_l, v2d_r], axis=1)
         verts = self._merge(verts_left, verts_right)
-        z = verts[..., 2]
+        return self._render_shaded(
+            v2d, verts[..., 2], verts, albedo, light_dir, light_color,
+            ambient, specular, shininess, ao, soft_shadow)
 
+    def render_rgb_perspective(self, camera_in, verts_left, verts_right,
+                               albedo=None, light_dir=None, light_color=None,
+                               ambient=None, specular=0.0, shininess=16.0,
+                               ao=0.0, soft_shadow=0.0):
+        """Hard-shaded RGB through per-frame pinhole intrinsics.
+
+        camera_in: (B, 3, 3) `cameraIn` matrices (the reference builds
+        `PerspectiveCameras` from these, `utils/vis_utils.py:72-80`);
+        verts_*: (B, 778, 3) in CAMERA space (+z toward the scene), e.g.
+        `world @ cam_R.T + cam_t` as in `utils/compute_maskiou.py:190-198`.
+        Returns (rgb (B,H,W,3), mask (B,H,W)).
+        """
+        verts = self._merge(verts_left, verts_right)
+        v2d, depth = pinhole_project(verts, camera_in)
+        return self._render_shaded(
+            v2d, depth, verts, albedo, light_dir, light_color,
+            ambient, specular, shininess, ao, soft_shadow)
+
+    def render_mask_perspective(self, camera_in, verts_left, verts_right):
+        """Two-hand silhouette through pinhole intrinsics (the camera the
+        reference's mask tooling renders with,
+        `utils/compute_maskiou.py:190-198`)."""
+        _, mask = self.render_rgb_perspective(camera_in, verts_left,
+                                              verts_right)
+        return mask
+
+    def _render_shaded(self, v2d, z, verts, albedo, light_dir, light_color,
+                       ambient, specular, shininess, ao, soft_shadow):
         B = verts.shape[0]
         if albedo is None:
             albedo = jnp.broadcast_to(self.base_colors, (B,) + self.base_colors.shape)
