@@ -42,6 +42,52 @@ from renderih_tpu.utils.metrics_writer import MetricsWriter
 log = logging.getLogger("renderih_tpu.train")
 
 
+def _write_eval_overlays(writer, step, cfg, model, variables, assets,
+                         eval_dataset, n: int = 2):
+    """Render pred-vs-GT mesh overlays for the first `n` eval samples.
+
+    The TPU-native take on the reference's render-to-TB scaffolding
+    (`utils/tb_utils.py:48-111`, `core/vis_train.py:64`): prediction
+    rendered with its own predicted orthographic camera, GT rendered with
+    a camera fit from the packed 2D labels, side by side over the input.
+    """
+    from renderih_tpu.models import model_call_kwargs
+    from renderih_tpu.ops.image import normalize_imagenet
+    from renderih_tpu.render.renderer import TwoHandRenderer
+
+    b = eval_dataset.batch(np.arange(n))
+    img01 = jnp.asarray(b["img_u8"], jnp.float32) / 255.0
+    out = model.apply(variables, normalize_imagenet(img01), train=False,
+                      **model_call_kwargs(cfg, assets))
+    renderer = TwoHandRenderer(assets, img_size=cfg.model.img_size)
+    rgb, mask = renderer.render_rgb_orth(
+        out.scale, out.trans2d, out.verts3d["left"], out.verts3d["right"])
+    pred = renderer.overlay(img01, rgb, mask)
+
+    # GT camera: least-squares orthographic fit of v2d ~ s*S*xy + t
+    S = float(cfg.model.img_size)
+    gt_sc, gt_tr = {}, {}
+    for hand in ("left", "right"):
+        v3 = jnp.asarray(b[f"v3d_{hand}"])
+        v2 = jnp.asarray(b[f"v2d_{hand}"])
+        xy = v3[..., :2]
+        xym = xy - xy.mean(axis=1, keepdims=True)
+        uvm = v2 - v2.mean(axis=1, keepdims=True)
+        s = (jnp.sum(xym * uvm, axis=(1, 2))
+             / jnp.maximum(jnp.sum(xym * xym, axis=(1, 2)), 1e-9)) / S
+        t = (v2.mean(axis=1) - s[:, None] * S * xy.mean(axis=1)
+             - S / 2.0) / (S / 2.0)
+        gt_sc[hand], gt_tr[hand] = s, t
+    rgb_gt, mask_gt = renderer.render_rgb_orth(
+        gt_sc, gt_tr, jnp.asarray(b["v3d_left"]), jnp.asarray(b["v3d_right"]))
+    gt = renderer.overlay(img01, rgb_gt, mask_gt)
+
+    for k in range(n):
+        side = np.concatenate(
+            [np.asarray(pred[k]), np.asarray(gt[k])], axis=1)
+        writer.write_image(step, f"eval/overlay_{k}", side)
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--cfg", type=str, default=None)
@@ -49,6 +95,12 @@ def main(argv=None):
                         help="packed dataset dir (see tools/pack_data.py)")
     parser.add_argument("--synthetic", action="store_true",
                         help="train on a synthetic packed dataset (smoke)")
+    parser.add_argument("--synth_n", type=int, default=256,
+                        help="synthetic train-split size (test = n/4)")
+    parser.add_argument("--synth_render", action="store_true",
+                        help="rasterize the labeled hands into the "
+                             "synthetic images (learnable image->pose "
+                             "task; convergence runs) instead of noise")
     parser.add_argument("--epochs", type=int, default=None)
     parser.add_argument("--resume", type=str, default=None,
                         help="checkpoint path, or 'auto' to pick the newest "
@@ -82,10 +134,15 @@ def main(argv=None):
     eval_dataset = None
     if args.synthetic or not args.data:
         root = os.path.join(cfg.train.checkpoint_dir, "_synth_data")
-        dataset = make_synthetic_packed(root, "train", assets, n=256)
-        # small held-out split so in-train eval (and its EMA variant) is
+        dataset = make_synthetic_packed(root, "train", assets,
+                                        n=args.synth_n,
+                                        render_images=args.synth_render)
+        # held-out split so in-train eval (and its EMA variant) is
         # exercised by synthetic smoke runs too
-        eval_dataset = make_synthetic_packed(root, "test", assets, n=64)
+        eval_dataset = make_synthetic_packed(root, "test", assets,
+                                             n=max(args.synth_n // 4, 16),
+                                             seed=1,
+                                             render_images=args.synth_render)
         log.info("synthetic dataset: %d samples", len(dataset))
     else:
         dataset = PackedInterHand.load(args.data, "train")
@@ -101,6 +158,28 @@ def main(argv=None):
                             num_hosts=jax.process_count(),
                             seed=cfg.train.seed)
     steps_per_epoch = max(provider.batch_per_epoch, 1)
+
+    # Device-resident data cache (single-device runs): upload the packed
+    # split once, gather each batch on device. Streaming re-uploads
+    # ~25 MB/batch at bs128, which bounds throughput on slow host links;
+    # the cache restores the compute-bound training rate (mirrors the
+    # eval cache, `eval/evaluator.py:evaluate_packed`).
+    sample_mb = (dataset.batch(np.arange(1))["img_u8"].nbytes
+                 + 2 * 778 * 3 * 4 + 4096) / 1e6
+    cache = None
+    if (cfg.train.data_device_cache_mb > 0
+            and len(dataset) * sample_mb <= cfg.train.data_device_cache_mb
+            and mesh.devices.size == 1):
+        t_up = time.perf_counter()
+        full = dataset.batch(np.arange(len(dataset)))
+        cache = jax.device_put({k: jnp.asarray(v) for k, v in full.items()})
+        jax.block_until_ready(cache)
+        del full
+        gather = jax.jit(lambda c, idx: jax.tree_util.tree_map(
+            lambda a: jnp.take(a, idx, axis=0), c))
+        log.info("device data cache: %d samples, %.0f MB, uploaded in %.1fs",
+                 len(dataset), len(dataset) * sample_mb,
+                 time.perf_counter() - t_up)
 
     rng = jax.random.PRNGKey(cfg.train.seed)
     model, variables = init_model(cfg, assets, rng)
@@ -148,10 +227,14 @@ def main(argv=None):
     t0 = time.perf_counter()
     step0 = int(jax.device_get(state.step))
     for i in range(step0, total_steps):
-        host_batch = provider.next()
-        batch = shard_batch(
-            {k: jnp.asarray(v) for k, v in host_batch.items()}, mesh
-        )
+        if cache is not None:
+            batch = gather(cache,
+                           jnp.asarray(provider.sampler.next_indices()))
+        else:
+            host_batch = provider.next()
+            batch = shard_batch(
+                {k: jnp.asarray(v) for k, v in host_batch.items()}, mesh
+            )
         key = jax.random.fold_in(rng, i)
         batch = aug(batch, jax.random.fold_in(key, 1))
         state, terms = step_fn(state, batch, jax.random.fold_in(key, 2))
@@ -205,6 +288,9 @@ def main(argv=None):
                 summary["pa_mpjpe_mm"],
             )
             writer.write(i + 1, summary, prefix="eval/")
+            if cfg.train.vis_every_eval:
+                _write_eval_overlays(writer, i + 1, cfg, model, variables,
+                                     assets, eval_dataset)
             if state.ema_params is not None:
                 ema_summary = evaluate_packed(
                     cfg, model,

@@ -113,6 +113,17 @@ class TrainConfig:
     save_gap: int = 10
     log_every: int = 50
     eval_every: int = 10
+    # Device-resident training-data cache: when the packed train split
+    # fits this budget (MB) and the run is single-device, upload it once
+    # and gather batches on device — the per-step host->device image
+    # upload (25 MB/batch at bs128) otherwise bounds throughput on slow
+    # host links. 0 disables. Multi-device/multi-host runs stream from
+    # per-host memmaps (the right design for datasets beyond HBM).
+    data_device_cache_mb: int = 2048
+    # Render pred-vs-GT mesh overlays (PNG under {checkpoint_dir}/vis +
+    # TensorBoard image when available) at every in-train eval — the
+    # reference's render-to-TB scaffolding (`utils/tb_utils.py:48-111`).
+    vis_every_eval: bool = True
     checkpoint_dir: str = "checkpoints"
     # Device mesh: data x model. model > 1 shards attention/MLP weights.
     mesh_data: int = -1  # -1 = all devices

@@ -27,6 +27,7 @@ def synthetic_batch(
     img_size: int = 256,
     bone_length: float = 0.095,
     with_aux: bool = False,
+    with_cam: bool = False,
 ) -> dict:
     keys = jax.random.split(rng, 12)
 
@@ -59,6 +60,14 @@ def synthetic_batch(
         "v2d_right": v2d_r, "j2d_right": j2d_r,
         "root_rel": root_rel,
     }
+    if with_cam:
+        # The generating orthographic cameras — consumed by
+        # `make_synthetic_packed(render_images=True)` to rasterize images
+        # consistent with the labels (never fed to the model).
+        batch.update({
+            "cam_scale_left": sc_l, "cam_trans_left": tr_l,
+            "cam_scale_right": sc_r, "cam_trans_right": tr_r,
+        })
     if with_aux:
         batch.update(synthetic_aux_targets(
             assets, img_size,
@@ -91,17 +100,12 @@ def synthetic_aux_targets(
     from renderih_tpu.assets import _dense_color_from_template
     from renderih_tpu.ops.heatmap import gaussian_heatmaps
     from renderih_tpu.render.rasterize import rasterize_orthographic
-    from renderih_tpu.render.renderer import TwoHandRenderer
 
     s = img_size // 4
     j_all = jnp.concatenate([j2d["left"], j2d["right"]], axis=1)
     hms = gaussian_heatmaps(j_all * (s / img_size), size=s,
                             sigma=max(s / 32.0, 1.0))
     hms = jnp.transpose(hms, (0, 2, 3, 1))  # (B, S, S, 42)
-
-    renderer = TwoHandRenderer(assets, img_size=s)
-    mask = renderer.render_mask(scale, trans2d, v3d["left"], v3d["right"])
-    mask = (mask > 0).astype(jnp.float32)
 
     def hand_dense(hand_assets, sc, tr, v):
         colors = jnp.asarray(
@@ -112,12 +116,23 @@ def synthetic_aux_targets(
             attr, m, _ = rasterize_orthographic(
                 v2d_i, z_i, colors, hand_assets.mano.faces,
                 height=s, width=s)
-            return attr * m[..., None]
+            return attr * m[..., None], m
 
         return jax.vmap(one)(v2d, v[..., 2])
 
-    dense = jnp.concatenate(
-        [hand_dense(assets.left, scale["left"], trans2d["left"], v3d["left"]),
-         hand_dense(assets.right, scale["right"], trans2d["right"],
-                    v3d["right"])], axis=-1)
-    return {"hms": hms, "mask": mask, "dense": dense}
+    dense_l, mask_l = hand_dense(assets.left, scale["left"], trans2d["left"],
+                                 v3d["left"])
+    dense_r, mask_r = hand_dense(assets.right, scale["right"],
+                                 trans2d["right"], v3d["right"])
+    mask_l = (mask_l > 0).astype(jnp.float32)
+    mask_r = (mask_r > 0).astype(jnp.float32)
+    dense = jnp.concatenate([dense_l, dense_r], axis=-1)
+    # 'mask' = two-hand union silhouette (the mask head's target);
+    # 'mask_left'/'mask_right' are per-hand silhouettes used to gate each
+    # dense half in `aux_losses` (the reference's corresponding code,
+    # `core/Loss.py:186-189`, slices mask[:, :1]/mask[:, 1:] — but its
+    # predicted mask is single-channel (B, H, W), so that slicing takes
+    # ROWS; the path is dead there (total_loss zeroed, `core/Loss.py:210`).
+    # We implement the evident intent: per-hand gating.)
+    return {"hms": hms, "mask": jnp.maximum(mask_l, mask_r),
+            "mask_left": mask_l, "mask_right": mask_r, "dense": dense}

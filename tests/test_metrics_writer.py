@@ -34,3 +34,20 @@ def test_append_across_instances(tmp_path):
     w.close()
     lines = open(os.path.join(str(tmp_path), "metrics.jsonl")).readlines()
     assert len(lines) == 2  # append mode: restart does not clobber history
+
+
+def test_write_image_saves_png(tmp_path):
+    """Render-to-vis path (reference `utils/tb_utils.py:48-111`)."""
+    w = MetricsWriter(str(tmp_path))
+    img_u8 = (np.arange(16 * 16 * 3) % 256).astype(np.uint8).reshape(16, 16, 3)
+    w.write_image(7, "eval/overlay_0", img_u8)
+    w.write_image(7, "eval/overlay_1", img_u8.astype(np.float32) / 255.0)
+    w.close()
+    vis = os.path.join(str(tmp_path), "vis")
+    files = sorted(os.listdir(vis))
+    assert files == ["eval_overlay_0_step0000007.png",
+                     "eval_overlay_1_step0000007.png"]
+    from PIL import Image
+
+    back = np.asarray(Image.open(os.path.join(vis, files[0])))
+    np.testing.assert_array_equal(back, img_u8)
