@@ -215,12 +215,24 @@ def aux_losses(aux: dict, batch: dict, w_mask: float = 500.0,
         terms["mask"] = smooth_l1(aux["mask"], batch["mask"], beta=0.05)
         total = total + w_mask * terms["mask"]
     if "dense" in batch and aux.get("dense") is not None:
-        m = batch.get("mask")
         pred, tgt = aux["dense"], batch["dense"]
-        if m is not None:
-            pred = pred * m[..., None]
-            tgt = tgt * m[..., None]
-        terms["dense"] = smooth_l1(pred, tgt, beta=0.05)
+        # Per-hand gating: each hand's 3 dense channels are supervised
+        # only inside that hand's own silhouette. The reference intends
+        # this (`core/Loss.py:186-189` slices mask[:, :1]/mask[:, 1:]) but
+        # its predicted mask is (B, H, W) so the slicing takes rows and
+        # the whole aux path is dead there (`core/Loss.py:210`); we
+        # implement the intent with per-hand target masks, falling back
+        # to the combined silhouette when only that is available.
+        m_l = batch.get("mask_left", batch.get("mask"))
+        m_r = batch.get("mask_right", batch.get("mask"))
+        if m_l is not None:
+            d_l = smooth_l1(pred[..., :3] * m_l[..., None],
+                            tgt[..., :3] * m_l[..., None], beta=0.05)
+            d_r = smooth_l1(pred[..., 3:] * m_r[..., None],
+                            tgt[..., 3:] * m_r[..., None], beta=0.05)
+            terms["dense"] = 0.5 * (d_l + d_r)
+        else:
+            terms["dense"] = smooth_l1(pred, tgt, beta=0.05)
         total = total + w_dense * terms["dense"]
     if "hms" in batch and aux.get("hms") is not None:
         terms["hms"] = jnp.mean((aux["hms"] - batch["hms"]) ** 2)

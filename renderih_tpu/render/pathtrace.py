@@ -267,7 +267,8 @@ class TwoHandPathTracer:
     def render(self, scale, trans2d, verts_left, verts_right, albedo,
                key, *, light_dir=None, light_radiance=3.0,
                env_radiance=(0.25, 0.25, 0.25), spp: int = 8,
-               n_bounces: int = 2, tonemap: bool = True):
+               n_bounces: int = 2, tonemap: bool = True,
+               chunk: int | None = None):
         """Render a batch. scale/trans2d: {'left','right'} of (B,)/(B, 2);
         verts_*: (B, 778, 3) metres; albedo: (B, 2V, 3).
 
@@ -277,6 +278,14 @@ class TwoHandPathTracer:
         Returns (rgb (B, H, W, 3) in [0, 1] if tonemap, mask (B, H, W)).
         """
         S = self.img_size
+        B = verts_left.shape[0]
+        if chunk is None:
+            # The intersect temporaries are (chunk, T, 3) PER vmapped
+            # batch element — i.e. (B, chunk, T, 3) materialized at once.
+            # Scale the chunk down by B so peak memory stays at the
+            # single-scene ~100 MB budget regardless of batch size
+            # (B=32 at chunk=8192 would be ~3 GB per temporary).
+            chunk = max(256, 8192 // B)
         if light_dir is None:
             light_dir = jnp.broadcast_to(
                 jnp.array([0.4, -0.3, -0.85]), (verts_left.shape[0], 3))
@@ -305,7 +314,7 @@ class TwoHandPathTracer:
             }
             return render_scene(scene, k, img_size=S, light=light,
                                 env_radiance=env_radiance, spp=spp,
-                                n_bounces=n_bounces)
+                                n_bounces=n_bounces, chunk=chunk)
 
         keys = jax.random.split(key, verts_left.shape[0])
         rgb, mask = jax.vmap(one)(
