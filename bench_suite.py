@@ -150,9 +150,10 @@ def main():
 
     # ---- 6. sharded data-parallel eval (--mesh_data) overhead ----
     # Real multi-chip isn't reachable from this container; on ONE chip a
-    # data mesh of size 1 runs the identical sharded code path
-    # (shard_map'd batches, in-jit metrics), so this number proves the
-    # sharded path costs nothing vs. config 3's plain path. Multi-chip
+    # data mesh of size 1 runs the identical sharded code path. Both
+    # this and config 3 use the device-resident eval cache (the sharded
+    # path shards the cache over the 'data' axis), so the two numbers
+    # isolate sharding overhead — not host-link throughput. Multi-chip
     # scaling itself is validated functionally on the 8-virtual-device
     # CPU mesh (tests/test_eval_sharded.py).
     from renderih_tpu.parallel.mesh import make_mesh
@@ -164,6 +165,64 @@ def main():
     results["eval_sharded_mesh_images_per_sec"] = round(
         summary_sh["images_per_sec"], 1)
     results["eval_sharded_mesh_total_s"] = round(time.perf_counter() - t0, 2)
+
+    # ---- 7. training step: throughput, MFU, grad-accum A/B ----
+    # MFU = XLA-counted flops (Lowered.cost_analysis, no compile needed)
+    # / measured step time / v5e peak (197 TFLOP/s bf16; f32 conv work
+    # runs below that peak, so this is a conservative utilization bound).
+    from dataclasses import replace as dc_replace
+
+    from renderih_tpu.train.state import create_train_state
+    from renderih_tpu.train.trainer import make_train_step
+
+    V5E_PEAK_FLOPS = 197e12
+    tb = 128
+    cfg_t = Config()
+    cfg_t.train.batch_size = tb
+    tr_batch = synthetic_batch(assets, jax.random.PRNGKey(20), batch_size=tb)
+    rng = jax.random.PRNGKey(21)
+
+    def timed_train(cfg_i, tag):
+        state = create_train_state(cfg_i, variables, steps_per_epoch=100)
+        step, _ = make_train_step(cfg_i, model, assets, steps_per_epoch=100,
+                                  params_template=variables["params"])
+        flops = float(step.lower(state, tr_batch, rng)
+                      .cost_analysis()["flops"])
+        state, terms = step(state, tr_batch, rng)
+        float(terms["total"])  # compile + sync
+        n_it = max(iters, 5)
+        t0 = time.perf_counter()
+        for _ in range(n_it):
+            state, terms = step(state, tr_batch, rng)
+        float(terms["total"])  # chained: state feeds next step
+        r0 = time.perf_counter()
+        float(terms["total"])
+        rtt = time.perf_counter() - r0
+        dt = (time.perf_counter() - t0 - rtt) / n_it
+        results[f"train_batch{tb}{tag}_images_per_sec"] = round(tb / dt, 1)
+        results[f"train_batch{tb}{tag}_step_ms"] = round(dt * 1000, 2)
+        results[f"train_batch{tb}{tag}_mfu_pct"] = round(
+            100.0 * flops / dt / V5E_PEAK_FLOPS, 2)
+
+    timed_train(cfg_t, "")
+    cfg_a = dc_replace(cfg_t, train=dc_replace(cfg_t.train, grad_accum=2))
+    timed_train(cfg_a, "_accum2")  # same global batch, 2 micro-batches
+
+    # ---- 8. serving engine, bucket-128 steady-state throughput ----
+    if not args.quick:
+        from renderih_tpu.serve import InferenceEngine
+
+        engine = InferenceEngine(Config(), assets=assets, buckets=(128,))
+        engine.warmup()
+        imgs = np.random.default_rng(0).integers(
+            0, 255, (128, 256, 256, 3), dtype=np.uint8)
+        engine.predict(imgs)
+        t0 = time.perf_counter()
+        s_it = 8
+        for _ in range(s_it):
+            engine.predict(imgs)
+        dt = (time.perf_counter() - t0) / s_it
+        results["serve_bucket128_images_per_sec"] = round(128 / dt, 1)
 
     results["device"] = str(jax.devices()[0])
     print(json.dumps(results, indent=2))

@@ -108,24 +108,30 @@ def evaluate_packed(
 
     payload_mb = (n * (IMG_SIZE * IMG_SIZE * 3 + 2 * 778 * 3 * 4)) / 1e6
     if device_cache is None:
-        device_cache = mesh is None and payload_mb <= device_cache_limit_mb
+        device_cache = payload_mb <= device_cache_limit_mb
 
     acc: dict = {}
     total_time = 0.0
     upload_s = 0.0
     starts = list(range(0, n, batch_size))
 
-    if device_cache and mesh is None:
+    if device_cache:
         # Upload the whole split once (padded to a whole number of
         # batches), then run the loop on device-resident dynamic slices —
-        # zero steady-state host->device traffic.
+        # zero steady-state host->device traffic. With `mesh`, the cache
+        # itself is sharded over the 'data' axis (every slice start is a
+        # multiple of batch_size, which is divisible by the data-axis
+        # size, so each dynamic slice stays shard-local).
         t0 = time.perf_counter()
         n_pad = len(starts) * batch_size
         pad = np.minimum(np.arange(n_pad), n - 1)
         full = dataset.batch(pad)
-        cache = jax.device_put(
-            (full["img_u8"], full["v3d_left"], full["v3d_right"]))
-        del full
+        payload = (full["img_u8"], full["v3d_left"], full["v3d_right"])
+        if mesh is not None:
+            cache = jax.device_put(payload, data_sh)
+        else:
+            cache = jax.device_put(payload)
+        del full, payload
 
         def step_at(imgs, v3l, v3r, start):
             sl = lambda a: jax.lax.dynamic_slice_in_dim(a, start, batch_size)
@@ -144,7 +150,7 @@ def evaluate_packed(
             for k, v in m.items():
                 acc.setdefault(k, []).append(np.asarray(v)[:v_ok])
     else:
-        # Streaming path (sharded eval, or splits too big for HBM):
+        # Streaming path (splits too big for HBM):
         # depth-1 software pipeline — dispatch batch i (async under jit),
         # do the *host* gather for batch i+1, then block on batch i's
         # metrics, so host IO overlaps device compute. Numpy arrays are
@@ -172,7 +178,7 @@ def evaluate_packed(
         timed_images / total_time if total_time > 0 else 0.0
     )
     summary["num_samples"] = n
-    summary["device_cache"] = bool(device_cache and mesh is None)
+    summary["device_cache"] = bool(device_cache)
     summary["cache_upload_s"] = round(upload_s, 3)
     return summary
 
