@@ -182,12 +182,25 @@ def main():
     tr_batch = synthetic_batch(assets, jax.random.PRNGKey(20), batch_size=tb)
     rng = jax.random.PRNGKey(21)
 
+    def _flops_of(lowered):
+        # Lowered.cost_analysis() is backend-dependent: it may return a
+        # dict, a singleton list, or None (the axon PJRT plugin); fall
+        # back to the compiled executable's analysis (the compile is
+        # cached and paid by the timing loop anyway).
+        ca = lowered.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0] if ca else None
+        if not ca or "flops" not in ca:
+            ca = lowered.compile().cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0] if ca else None
+        return float(ca["flops"]) if ca and "flops" in ca else 0.0
+
     def timed_train(cfg_i, tag):
         state = create_train_state(cfg_i, variables, steps_per_epoch=100)
         step, _ = make_train_step(cfg_i, model, assets, steps_per_epoch=100,
                                   params_template=variables["params"])
-        flops = float(step.lower(state, tr_batch, rng)
-                      .cost_analysis()["flops"])
+        flops = _flops_of(step.lower(state, tr_batch, rng))
         state, terms = step(state, tr_batch, rng)
         float(terms["total"])  # compile + sync
         n_it = max(iters, 5)
@@ -201,8 +214,12 @@ def main():
         dt = (time.perf_counter() - t0 - rtt) / n_it
         results[f"train_batch{tb}{tag}_images_per_sec"] = round(tb / dt, 1)
         results[f"train_batch{tb}{tag}_step_ms"] = round(dt * 1000, 2)
-        results[f"train_batch{tb}{tag}_mfu_pct"] = round(
-            100.0 * flops / dt / V5E_PEAK_FLOPS, 2)
+        # MFU only for the unscanned config: XLA's cost analysis counts a
+        # lax.scan body once regardless of trip count, so the grad-accum
+        # variant's flop count is accum-times low (measured: exactly 2x).
+        if flops > 0 and not tag:
+            results[f"train_batch{tb}{tag}_mfu_pct"] = round(
+                100.0 * flops / dt / V5E_PEAK_FLOPS, 2)
 
     timed_train(cfg_t, "")
     cfg_a = dc_replace(cfg_t, train=dc_replace(cfg_t.train, grad_accum=2))
