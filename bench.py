@@ -62,6 +62,10 @@ def main():
     # (identical math; see utils/pair_params.py). A/B knob.
     if os.environ.get("BENCH_PAIRED"):
         cfg.model.paired_lr = True
+    # Pallas implicit-GEMM 3x3 encoder convs (kernels/conv_pallas.py);
+    # BENCH_PALLAS_CONV=1 also works via the kernel module's own env knob.
+    if os.environ.get("BENCH_PALLAS_CONV"):
+        cfg.model.pallas_conv = True
     assets = make_synthetic_assets(seed=0)
     model, variables = init_model(cfg, assets, jax.random.PRNGKey(0))
     call_kwargs = model_call_kwargs(cfg, assets)

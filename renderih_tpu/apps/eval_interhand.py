@@ -37,6 +37,9 @@ def main(argv=None):
     p.add_argument("--fused_attn", action="store_true",
                    help="route attention through the Pallas kernel "
                         "(faster in isolation, slower end-to-end; A/B knob)")
+    p.add_argument("--pallas_conv", action="store_true",
+                   help="route eligible 3x3 encoder convs through the "
+                        "Pallas implicit-GEMM kernel")
     p.add_argument("--mesh_data", type=int, default=0,
                    help="shard inference data-parallel over N devices "
                         "(0 = single device)")
@@ -51,6 +54,8 @@ def main(argv=None):
         set_fused_attention(True)
 
     cfg = load_config(args.cfg)
+    if args.pallas_conv:
+        cfg.model.pallas_conv = True
     assets = load_assets(cfg.assets)
     model, variables = init_model(cfg, assets, jax.random.PRNGKey(0))
 

@@ -56,6 +56,11 @@ class ModelConfig:
     # set False to run the decoder trunk in bf16 too (the coord/camera
     # heads always stay f32).
     decoder_f32: bool = True
+    # Route eligible stride-1 3x3 encoder convs through the Pallas
+    # implicit-GEMM kernel (kernels/conv_pallas.py). Measured faster than
+    # XLA's conv on the hot resnet50 shapes in isolation (round-4 probe);
+    # end-to-end A/B receipts in BENCH_DETAILS decide the default.
+    pallas_conv: bool = False
 
 
 @dataclass

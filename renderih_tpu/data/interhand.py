@@ -204,7 +204,8 @@ def make_synthetic_packed(root: str, split: str, assets, n: int = 64,
         except Exception:
             pass  # malformed meta: regenerate
     batch = synthetic_batch(assets, jax.random.PRNGKey(seed), batch_size=n,
-                            img_size=IMG_SIZE, with_cam=render_images)
+                            img_size=IMG_SIZE, with_cam=render_images,
+                            with_img=False)
     images = np.memmap(
         os.path.join(root, f"{split}_images.u8"), dtype=np.uint8,
         mode="w+", shape=(n, IMG_SIZE, IMG_SIZE, 3),

@@ -28,6 +28,7 @@ def synthetic_batch(
     bone_length: float = 0.095,
     with_aux: bool = False,
     with_cam: bool = False,
+    with_img: bool = True,
 ) -> dict:
     keys = jax.random.split(rng, 12)
 
@@ -50,16 +51,20 @@ def synthetic_batch(
     v3d_l, j3d_l, v2d_l, j2d_l, sc_l, tr_l = hand(assets.left.mano, *keys[0:5])
     v3d_r, j3d_r, v2d_r, j2d_r, sc_r, tr_r = hand(assets.right.mano, *keys[5:10])
     root_rel = jax.random.normal(keys[10], (batch_size, 3)) * 0.05
-    img = jax.random.normal(keys[11], (batch_size, img_size, img_size, 3))
 
     batch = {
-        "img": img,
         "v3d_left": v3d_l, "j3d_left": j3d_l,
         "v2d_left": v2d_l, "j2d_left": j2d_l,
         "v3d_right": v3d_r, "j3d_right": j3d_r,
         "v2d_right": v2d_r, "j2d_right": j2d_r,
         "root_rel": root_rel,
     }
+    if with_img:
+        # (n, S, S, 3) noise at f32 is big (and its RNG intermediates
+        # bigger); callers that write their own images — e.g.
+        # make_synthetic_packed — pass with_img=False.
+        batch["img"] = jax.random.normal(
+            keys[11], (batch_size, img_size, img_size, 3))
     if with_cam:
         # The generating orthographic cameras — consumed by
         # `make_synthetic_packed(render_images=True)` to rasterize images

@@ -114,6 +114,10 @@ class HandNet(nn.Module):
 
 
 def build_model(cfg: Config, assets: Assets) -> HandNet:
+    if cfg.model.pallas_conv:
+        from renderih_tpu.kernels.conv_pallas import set_pallas_conv
+
+        set_pallas_conv(True)
     dtype = jnp.bfloat16 if cfg.train.precision == "bf16" else jnp.float32
     assert assets.left.verts_nums == assets.right.verts_nums, (
         "left/right graphs must coarsen to identical level sizes "

@@ -19,6 +19,40 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from renderih_tpu.kernels.conv_pallas import (
+    conv3x3_eligible,
+    conv3x3_same,
+    pallas_conv_enabled,
+)
+
+
+class Conv3x3(nn.Module):
+    """Drop-in for `nn.Conv(features, (3, 3), stride, padding=1)` that
+    routes through the Pallas implicit-GEMM kernel when enabled and the
+    shape is eligible (stride 1, VMEM-feasible tile). Same param name
+    ("kernel"), shape, init, and dtype promotion as nn.Conv, so
+    checkpoints and the torch converter are unaffected."""
+
+    features: int
+    stride: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (3, 3, x.shape[-1], self.features), jnp.float32)
+        x = x.astype(self.dtype)
+        k = kernel.astype(self.dtype)
+        strides = (self.stride, self.stride)
+        if (pallas_conv_enabled() and self.stride == 1
+                and conv3x3_eligible(x, k, strides, "SAME")):
+            return conv3x3_same(x, k)
+        return jax.lax.conv_general_dilated(
+            x, k, window_strides=strides, padding=((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
 _STAGES = {
     "resnet18": ("basic", (2, 2, 2, 2)),
     "resnet34": ("basic", (3, 4, 6, 3)),
@@ -40,11 +74,9 @@ class BasicBlock(nn.Module):
             dtype=self.dtype, name=name,
         )
         identity = x
-        h = nn.Conv(self.width, (3, 3), (self.stride, self.stride),
-                    padding=1, use_bias=False, dtype=self.dtype, name="conv1")(x)
+        h = Conv3x3(self.width, self.stride, self.dtype, name="conv1")(x)
         h = nn.relu(bn("bn1")(h))
-        h = nn.Conv(self.width, (3, 3), padding=1, use_bias=False,
-                    dtype=self.dtype, name="conv2")(h)
+        h = Conv3x3(self.width, 1, self.dtype, name="conv2")(h)
         h = bn("bn2")(h)
         if self.stride != 1 or x.shape[-1] != self.width:
             identity = nn.Conv(self.width, (1, 1), (self.stride, self.stride),
@@ -71,8 +103,7 @@ class Bottleneck(nn.Module):
         h = nn.Conv(self.width, (1, 1), use_bias=False, dtype=self.dtype,
                     name="conv1")(x)
         h = nn.relu(bn("bn1")(h))
-        h = nn.Conv(self.width, (3, 3), (self.stride, self.stride), padding=1,
-                    use_bias=False, dtype=self.dtype, name="conv2")(h)
+        h = Conv3x3(self.width, self.stride, self.dtype, name="conv2")(h)
         h = nn.relu(bn("bn2")(h))
         h = nn.Conv(out_dim, (1, 1), use_bias=False, dtype=self.dtype,
                     name="conv3")(h)
