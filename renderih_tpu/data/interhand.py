@@ -217,7 +217,10 @@ def make_synthetic_packed(root: str, split: str, assets, n: int = 64,
         from renderih_tpu.render.renderer import TwoHandRenderer
 
         renderer = TwoHandRenderer(assets, img_size=IMG_SIZE)
-        chunk = min(64, n)
+        # Rasterizer intermediates are (chunk, row_block*W, F) f32 per
+        # lax.map step — chunk=64 at 256^2 x 3076 faces is ~3.2 GB per
+        # buffer and OOMs v5e HBM. chunk=8 bounds the step to ~400 MB.
+        chunk = min(8, n)
 
         @jax.jit
         def render_chunk(sc_l, tr_l, sc_r, tr_r, vl, vr, key):

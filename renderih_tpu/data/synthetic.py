@@ -104,7 +104,10 @@ def synthetic_aux_targets(
     """
     from renderih_tpu.assets import _dense_color_from_template
     from renderih_tpu.ops.heatmap import gaussian_heatmaps
-    from renderih_tpu.render.rasterize import rasterize_orthographic
+    from renderih_tpu.render.rasterize import (
+        pick_row_block,
+        rasterize_orthographic,
+    )
 
     s = img_size // 4
     j_all = jnp.concatenate([j2d["left"], j2d["right"]], axis=1)
@@ -120,7 +123,9 @@ def synthetic_aux_targets(
         def one(v2d_i, z_i):
             attr, m, _ = rasterize_orthographic(
                 v2d_i, z_i, colors, hand_assets.mano.faces,
-                height=s, width=s)
+                height=s, width=s,
+                row_block=pick_row_block(v2d.shape[0], s, s,
+                                         hand_assets.mano.faces.shape[0]))
             return attr * m[..., None], m
 
         return jax.vmap(one)(v2d, v[..., 2])

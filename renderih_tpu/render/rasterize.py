@@ -102,3 +102,22 @@ def rasterize_orthographic(
     attr, mask, zbuf = jax.lax.map(do_rows, ys)
     a = attr.reshape(height, width, -1)
     return a, mask.reshape(height, width), zbuf.reshape(height, width)
+
+
+def pick_row_block(batch: int, height: int, width: int, n_faces: int,
+                   budget_elems: int = 100_000_000) -> int:
+    """Largest divisor of `height` (<=16) whose per-`lax.map`-step
+    rasterizer intermediates stay under `budget_elems` f32 elements
+    when `batch` scenes are vmapped together.
+
+    The hot buffers are (batch, row_block*width, n_faces) barycentrics
+    (u/v/zi, plus the (…, 2) pixel-delta) — at the old fixed
+    row_block=16, 64 vmapped 256^2 scenes against 3076 two-hand faces
+    made each ~3.2 GB and OOM'd v5e HBM. 100M elements bounds each at
+    ~400 MB regardless of batch.
+    """
+    per_row = max(1, batch) * width * max(1, n_faces)
+    rb = max(1, min(16, int(budget_elems // per_row)))
+    while height % rb:
+        rb -= 1
+    return rb

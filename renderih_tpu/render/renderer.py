@@ -20,7 +20,7 @@ import numpy as np
 
 from renderih_tpu.assets import Assets
 from renderih_tpu.ops.projection import orthographic_project, pinhole_project
-from renderih_tpu.render.rasterize import rasterize_orthographic
+from renderih_tpu.render.rasterize import pick_row_block, rasterize_orthographic
 
 _LEFT_COLOR = np.array([0.4, 0.55, 0.85])
 _RIGHT_COLOR = np.array([0.85, 0.55, 0.4])
@@ -224,6 +224,8 @@ class TwoHandRenderer:
             attr, mask, _ = rasterize_orthographic(
                 v2d_i, z_i, attrs, self.faces,
                 height=self.img_size, width=self.img_size,
+                row_block=pick_row_block(v2d.shape[0], self.img_size,
+                                         self.img_size, self.faces.shape[0]),
             )
             return attr[..., :3], mask
 
@@ -248,6 +250,8 @@ class TwoHandRenderer:
             attr, mask, _ = rasterize_orthographic(
                 v2d_i, z_i, dense_colors, self.faces,
                 height=self.img_size, width=self.img_size,
+                row_block=pick_row_block(v2d.shape[0], self.img_size,
+                                         self.img_size, self.faces.shape[0]),
             )
             return attr, mask
 

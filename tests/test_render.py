@@ -129,3 +129,37 @@ def test_ao_and_soft_shadow_shading():
     assert sh_v.min() >= 0.0 and sh_v.max() <= 1.0
     assert ao_v.min() < 0.98  # something is occluded
     assert sh_v.min() < 0.98  # something is shadowed
+
+
+def test_pick_row_block_bounds_memory_and_divides_height():
+    from renderih_tpu.render.rasterize import pick_row_block
+
+    for batch, height, width, faces in [
+        (1, 256, 256, 3076), (8, 256, 256, 3076), (64, 256, 256, 3076),
+        (128, 64, 64, 1538), (512, 256, 256, 3076), (2, 100, 100, 10),
+    ]:
+        rb = pick_row_block(batch, height, width, faces)
+        assert 1 <= rb <= 16
+        assert height % rb == 0
+        # the budget holds whenever a conforming block exists at all
+        if batch * width * faces <= 100_000_000:
+            assert batch * rb * width * faces <= 100_000_000
+    # the OOM shape that motivated this: 64 vmapped 256^2 scenes must
+    # not get the old fixed row_block=16 (3.2 GB per intermediate)
+    assert pick_row_block(64, 256, 256, 3076) <= 2
+
+
+def test_rasterize_invariant_to_row_block():
+    from renderih_tpu.render.rasterize import rasterize_orthographic as rast
+
+    key = jax.random.PRNGKey(0)
+    v2d = jax.random.uniform(key, (12, 2)) * 30.0
+    z = jax.random.uniform(jax.random.fold_in(key, 1), (12,))
+    attrs = jax.random.uniform(jax.random.fold_in(key, 2), (12, 3))
+    faces = jnp.array([[0, 1, 2], [3, 4, 5], [6, 7, 8], [9, 10, 11]])
+    outs = [rast(v2d, z, attrs, faces, height=32, width=32, row_block=rb)
+            for rb in (1, 4, 16)]
+    for a, m, zb in outs[1:]:
+        np.testing.assert_array_equal(np.asarray(m), np.asarray(outs[0][1]))
+        np.testing.assert_allclose(np.asarray(a), np.asarray(outs[0][0]),
+                                   atol=1e-6)

@@ -44,7 +44,10 @@ def main(argv=None):
     from renderih_tpu.config import load_config
     from renderih_tpu.data.interhand import IMG_SIZE, PackedInterHand
     from renderih_tpu.ops.projection import pinhole_project
-    from renderih_tpu.render.rasterize import rasterize_orthographic
+    from renderih_tpu.render.rasterize import (
+        pick_row_block,
+        rasterize_orthographic,
+    )
 
     assets = make_synthetic_assets()  # faces only; replace via --cfg if needed
     dataset = PackedInterHand.load(args.data, args.split)
@@ -64,7 +67,9 @@ def main(argv=None):
         def one(v2d, z, faces):
             attrs = jnp.ones((v2d.shape[0], 1))
             _, mask, _ = rasterize_orthographic(
-                v2d, z, attrs, faces, height=res, width=res, row_block=8
+                v2d, z, attrs, faces, height=res, width=res,
+                row_block=pick_row_block(v2d_l.shape[0], res, res,
+                                         faces.shape[0]),
             )
             return mask
 
