@@ -97,6 +97,9 @@ def main(argv=None):
                         help="train on a synthetic packed dataset (smoke)")
     parser.add_argument("--synth_n", type=int, default=256,
                         help="synthetic train-split size (test = n/4)")
+    parser.add_argument("--synth_eval_n", type=int, default=None,
+                        help="held-out synthetic eval set size "
+                             "(default synth_n // 4)")
     parser.add_argument("--synth_render", action="store_true",
                         help="rasterize the labeled hands into the "
                              "synthetic images (learnable image->pose "
@@ -140,7 +143,8 @@ def main(argv=None):
         # held-out split so in-train eval (and its EMA variant) is
         # exercised by synthetic smoke runs too
         eval_dataset = make_synthetic_packed(root, "test", assets,
-                                             n=max(args.synth_n // 4, 16),
+                                             n=args.synth_eval_n
+                                             or max(args.synth_n // 4, 16),
                                              seed=1,
                                              render_images=args.synth_render)
         log.info("synthetic dataset: %d samples", len(dataset))

@@ -178,14 +178,19 @@ def pack_reference_dataset(data_path: str, split: str, out_dir: str,
 
 def make_synthetic_packed(root: str, split: str, assets, n: int = 64,
                           seed: int = 0, render_images: bool = False,
-                          reuse: bool = True) -> "PackedInterHand":
+                          reuse: bool = True,
+                          scene: bool | None = None) -> "PackedInterHand":
     """Write a small synthetic packed dataset (tests / smoke runs).
 
     With `render_images`, images are rasterized renders of the labeled
     hands over procedural backgrounds (a LEARNABLE image->pose task —
     used by convergence runs); otherwise uint8 noise (cheap fixtures
-    where pixel content is irrelevant). `reuse` skips regeneration when
-    a dataset with the same (n, seed, render_images) already exists —
+    where pixel content is irrelevant). `scene` (default: follow
+    `render_images`) switches the generator to the shared-camera
+    interacting-hands layout (`synthetic_batch(scene=True)`) so rendered
+    datasets look like real InterHand crops — frame-filling hand pairs
+    with a real `root_rel`. `reuse` skips regeneration when a dataset
+    with the same (n, seed, render_images, scene) already exists —
     resumed runs see identical data.
     """
     import json as _json
@@ -195,8 +200,11 @@ def make_synthetic_packed(root: str, split: str, assets, n: int = 64,
     from renderih_tpu.data.synthetic import synthetic_batch
 
     os.makedirs(root, exist_ok=True)
+    if scene is None:
+        scene = render_images
     meta_path = os.path.join(root, f"{split}_meta.json")
-    meta = {"n": n, "seed": seed, "render_images": bool(render_images)}
+    meta = {"n": n, "seed": seed, "render_images": bool(render_images),
+            "scene": bool(scene)}
     if reuse and os.path.exists(meta_path):
         try:
             if _json.load(open(meta_path)) == meta:
@@ -205,7 +213,7 @@ def make_synthetic_packed(root: str, split: str, assets, n: int = 64,
             pass  # malformed meta: regenerate
     batch = synthetic_batch(assets, jax.random.PRNGKey(seed), batch_size=n,
                             img_size=IMG_SIZE, with_cam=render_images,
-                            with_img=False)
+                            with_img=False, scene=scene)
     images = np.memmap(
         os.path.join(root, f"{split}_images.u8"), dtype=np.uint8,
         mode="w+", shape=(n, IMG_SIZE, IMG_SIZE, 3),

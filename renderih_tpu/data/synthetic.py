@@ -29,8 +29,23 @@ def synthetic_batch(
     with_aux: bool = False,
     with_cam: bool = False,
     with_img: bool = True,
+    scene: bool = False,
 ) -> dict:
-    keys = jax.random.split(rng, 12)
+    """With `scene=False` (default, the cheap fixture used across the
+    test suite) each hand gets an independent random camera and 3D labels
+    stay per-hand root-relative; `root_rel` is synthetic noise.
+
+    With `scene=True` the two hands form ONE interacting scene, matching
+    the real InterHand crops the reference trains on
+    (`core/loader.py:180-219`): the right hand is placed at a sampled
+    root offset next to the left, one shared orthographic camera is fit
+    so the hand pair fills most of the frame, v2d/j2d are that camera's
+    projection, v3d_right/j3d_right are packed in the SCENE frame (left
+    root at the origin, right verts carrying the real `root_rel`), and
+    the camera fields render correct inter-hand occlusion. This is the
+    learnable image->pose task for convergence runs — the default mode's
+    40-80 px independently-floating hands carry too little pose signal."""
+    keys = jax.random.split(rng, 16)
 
     def hand(model, k0, k1, k2, k3, k4):
         root = rodrigues(jax.random.normal(k0, (batch_size, 3)) * 0.5)
@@ -51,6 +66,38 @@ def synthetic_batch(
     v3d_l, j3d_l, v2d_l, j2d_l, sc_l, tr_l = hand(assets.left.mano, *keys[0:5])
     v3d_r, j3d_r, v2d_r, j2d_r, sc_r, tr_r = hand(assets.right.mano, *keys[5:10])
     root_rel = jax.random.normal(keys[10], (batch_size, 3)) * 0.05
+
+    if scene:
+        # Real root offset: interacting hands 7-18 cm apart, mostly in
+        # the image plane (z is unobservable under orthographic
+        # projection beyond occlusion ordering).
+        phi = jax.random.uniform(keys[12], (batch_size,), maxval=2 * jnp.pi)
+        rad = jax.random.uniform(keys[13], (batch_size,),
+                                 minval=0.07, maxval=0.18)
+        root_rel = jnp.stack(
+            [rad * jnp.cos(phi), rad * jnp.sin(phi),
+             0.02 * jax.random.normal(keys[14], (batch_size,))], axis=-1)
+        v3d_r = v3d_r + root_rel[:, None, :]
+        j3d_r = j3d_r + root_rel[:, None, :]
+
+        # Shared camera fit: scale/translate so the two-hand bounding box
+        # fills `fill` of the frame, with a small placement jitter.
+        xy = jnp.concatenate([v3d_l, v3d_r], axis=1)[..., :2]
+        mn = xy.min(axis=1)
+        mx = xy.max(axis=1)
+        center = 0.5 * (mn + mx)
+        half_ext = jnp.maximum(0.5 * (mx - mn).max(axis=-1), 1e-6)
+        fill = jax.random.uniform(keys[15], (batch_size,),
+                                  minval=0.60, maxval=0.90)
+        sc = fill / (2.0 * half_ext)
+        tr = -2.0 * sc[:, None] * center + jax.random.uniform(
+            keys[11], (batch_size, 2), minval=-0.05, maxval=0.05)
+        sc_l = sc_r = sc
+        tr_l = tr_r = tr
+        v2d_l = orthographic_project(sc, tr, v3d_l, img_size)
+        j2d_l = orthographic_project(sc, tr, j3d_l, img_size)
+        v2d_r = orthographic_project(sc, tr, v3d_r, img_size)
+        j2d_r = orthographic_project(sc, tr, j3d_r, img_size)
 
     batch = {
         "v3d_left": v3d_l, "j3d_left": j3d_l,

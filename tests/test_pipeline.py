@@ -163,3 +163,55 @@ def test_synthetic_render_images(tmp_path, assets):
     make_synthetic_packed(root, "train", assets, n=4, seed=0,
                           render_images=False)
     assert os.path.getmtime(os.path.join(root, "train_images.u8")) != mtime
+
+
+def test_scene_mode_consistent_labels(assets):
+    """scene=True: one shared camera, frame-filling interacting hands,
+    real root_rel (right labels in the scene frame)."""
+    from renderih_tpu.data.synthetic import synthetic_batch
+    from renderih_tpu.ops.projection import orthographic_project
+
+    b = synthetic_batch(assets, jax.random.PRNGKey(3), batch_size=8,
+                        with_cam=True, with_img=False, scene=True)
+    # shared camera
+    np.testing.assert_array_equal(b["cam_scale_left"], b["cam_scale_right"])
+    np.testing.assert_array_equal(b["cam_trans_left"], b["cam_trans_right"])
+    # v2d really is the shared camera's projection of the packed v3d
+    for hand in ("left", "right"):
+        uv = orthographic_project(b["cam_scale_left"], b["cam_trans_left"],
+                                  b[f"v3d_{hand}"], 256)
+        np.testing.assert_allclose(np.asarray(uv),
+                                   np.asarray(b[f"v2d_{hand}"]),
+                                   rtol=1e-4, atol=1e-2)
+    # right-hand labels carry the real root offset: j9_right == root_rel
+    np.testing.assert_allclose(np.asarray(b["j3d_right"][:, 9]),
+                               np.asarray(b["root_rel"]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(b["j3d_left"][:, 9]), 0.0,
+                               atol=1e-5)
+    rr = np.linalg.norm(np.asarray(b["root_rel"][:, :2]), axis=-1)
+    assert (rr >= 0.06).all() and (rr <= 0.19).all()
+    # the hand pair fills most of the frame and stays inside it
+    xy = np.concatenate([np.asarray(b["v2d_left"]),
+                         np.asarray(b["v2d_right"])], axis=1)
+    ext = (xy.max(axis=1) - xy.min(axis=1)).max(axis=-1)
+    assert (ext > 0.45 * 256).all(), ext
+    assert xy.min() > -30 and xy.max() < 286
+
+
+def test_scene_mode_augment_recovers_root_rel(assets):
+    """device_augment on scene-frame packed labels re-derives the real
+    root_rel the loss adds back to the right hand (`core/Loss.py:213`)."""
+    from renderih_tpu.data.synthetic import synthetic_batch
+
+    b = synthetic_batch(assets, jax.random.PRNGKey(4), batch_size=8,
+                        with_cam=True, with_img=False, scene=True)
+    batch = {"img_u8": jnp.zeros((8, 256, 256, 3), jnp.uint8)}
+    for k in ("v3d", "j3d", "v2d", "j2d"):
+        for hand in ("left", "right"):
+            batch[f"{k}_{hand}"] = jnp.asarray(b[f"{k}_{hand}"])
+    out = device_augment(batch, jax.random.PRNGKey(0), train=False)
+    np.testing.assert_allclose(np.asarray(out["root_rel"]),
+                               np.asarray(b["root_rel"]), atol=1e-5)
+    # per-hand 3D is root-relative again after augmentation
+    np.testing.assert_allclose(np.asarray(out["j3d_right"][:, 9]), 0.0,
+                               atol=1e-5)
