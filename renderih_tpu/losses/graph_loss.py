@@ -102,6 +102,12 @@ def _single_hand_loss(
     return {
         "vert2d": jnp.mean((_norm2d(v2d_pred, img_size) - _norm2d(v2d_gt, img_size)) ** 2),
         "vert3d": smooth_l1(v3d_pred, v3d_gt),
+        # Diagnostic only (not in `total`): the same 3D error in
+        # physical units. smooth_l1's quadratic region makes `vert3d`
+        # ~0.5*err^2 for sub-meter errors — a 100 mm/coord error reads
+        # as 0.005 and was once misread as convergence. This is the
+        # number to watch.
+        "vert3d_mm": 1000.0 * jnp.mean(_safe_norm(v3d_pred - v3d_gt)),
         "joint": smooth_l1(j_pred, j_gt),
         "normal": normal_loss(v3d_pred, v3d_gt, faces),
         "edge": edge_length_loss(v3d_pred, v3d_gt, faces),
