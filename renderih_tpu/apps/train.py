@@ -214,6 +214,14 @@ def main(argv=None):
         _preempted["flag"] = True
 
     signal.signal(signal.SIGTERM, _on_sigterm)
+    # SA_RESTART: without it, a SIGTERM landing while the main thread
+    # blocks inside a PJRT wait (device_get at a log step) interrupts
+    # the wait with EINTR; the axon plugin's RPC layer then drops the
+    # response and the waiter deadlocks (observed: trainer stuck in
+    # futex_do_wait forever while the device serves other processes).
+    # Auto-restarting the syscall lets the wait complete; the flag is
+    # still seen at the end of the loop iteration.
+    signal.siginterrupt(signal.SIGTERM, False)
 
     step_fn, _ = make_train_step(cfg, model, assets, steps_per_epoch,
                                  mesh=mesh, params_template=variables["params"])
