@@ -234,22 +234,49 @@ def main(argv=None):
         bone_length=cfg.data.bone_length, train=True,
     ))
 
+    # Device-cached path: gather + augment + train step fused into ONE
+    # jitted program, so each loop iteration is a single dispatch. The
+    # unfused loop costs 4-5 dispatches per step (gather, two fold_ins,
+    # aug, step); on a host with a slow control link (this container's
+    # tunnel has ~29 ms RTT) that dominated the step: 210 img/s unfused
+    # vs the 890 img/s the step itself benches at (tools/bench_train.py).
+    fused_step = None
+    if cache is not None:
+        def _fused(st, c, idx, step_i):
+            b = jax.tree_util.tree_map(
+                lambda a: jnp.take(a, idx, axis=0), c)
+            key = jax.random.fold_in(rng, step_i)
+            b = device_augment(
+                b, jax.random.fold_in(key, 1),
+                img_size=cfg.model.img_size,
+                theta_range=tuple(cfg.data.theta_range),
+                scale_range=tuple(cfg.data.scale_range),
+                uv_range=tuple(cfg.data.uv_range),
+                flip=cfg.data.flip, noise=cfg.data.noise,
+                bone_length=cfg.data.bone_length, train=True,
+            )
+            return step_fn(st, b, jax.random.fold_in(key, 2))
+
+        fused_step = jax.jit(_fused, donate_argnums=0)
+
     writer = MetricsWriter(cfg.train.checkpoint_dir)
     total_steps = args.steps or cfg.train.epochs * steps_per_epoch
     t0 = time.perf_counter()
     step0 = int(jax.device_get(state.step))
     for i in range(step0, total_steps):
         if cache is not None:
-            batch = gather(cache,
-                           jnp.asarray(provider.sampler.next_indices()))
+            state, terms = fused_step(
+                state, cache,
+                jnp.asarray(provider.sampler.next_indices()),
+                jnp.asarray(i, jnp.int32))
         else:
             host_batch = provider.next()
             batch = shard_batch(
                 {k: jnp.asarray(v) for k, v in host_batch.items()}, mesh
             )
-        key = jax.random.fold_in(rng, i)
-        batch = aug(batch, jax.random.fold_in(key, 1))
-        state, terms = step_fn(state, batch, jax.random.fold_in(key, 2))
+            key = jax.random.fold_in(rng, i)
+            batch = aug(batch, jax.random.fold_in(key, 1))
+            state, terms = step_fn(state, batch, jax.random.fold_in(key, 2))
 
         if (i + 1) % cfg.train.log_every == 0 or i == step0:
             terms = jax.device_get(terms)
