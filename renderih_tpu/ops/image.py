@@ -70,12 +70,16 @@ def warp_affine_bilinear(img: jax.Array, mat: jax.Array,
     """Batched cv.warpAffine(INTER_LINEAR, BORDER_CONSTANT=0) equivalent.
 
     Args:
-      img: (B, H, W, C) float images.
+      img: (B, H, W, C) float OR uint8 images. uint8 input takes a TPU
+        fast path (see `_warp_u8_stacked`) and returns float32; results
+        are bit-identical to converting to float32 first.
       mat: (B, 3, 3) *forward* affine matrices (as cv.warpAffine takes).
       out_size: output side length (defaults to H).
     """
     b, h, w, c = img.shape
     out = out_size or h
+    if img.dtype == jnp.uint8:
+        return _warp_u8_stacked(img, mat, out)
     inv = jnp.linalg.inv(mat)  # sample input at inv @ output coords
 
     ys = jnp.arange(out, dtype=jnp.float32)
@@ -108,6 +112,67 @@ def warp_affine_bilinear(img: jax.Array, mat: jax.Array,
     v11 = gather(y0 + 1, x0 + 1)
     fx = fx[..., None]
     fy = fy[..., None]
+    return (
+        v00 * (1 - fx) * (1 - fy)
+        + v01 * fx * (1 - fy)
+        + v10 * (1 - fx) * fy
+        + v11 * fx * fy
+    )
+
+
+def _warp_u8_stacked(img: jax.Array, mat: jax.Array, out: int) -> jax.Array:
+    """uint8 warp via ONE gather of all four bilinear taps.
+
+    The float path's four per-pixel `take_along_axis` gathers are the
+    dominant cost of on-device augmentation on TPU (measured 462 ms for
+    bs128 @ 256^2 on v5e — 3x the train step itself; XLA lowers each
+    (B, H*W, C=3) gather with a padded minor dim and pays per-index
+    overhead 4 times). Instead: pad the image, stack the four shifted
+    neighbor views on the channel axis, and gather 4*C contiguous bytes
+    per output pixel with a SINGLE index set — 1/4 the indices, 1/4 the
+    gathers, uint8 instead of float32 (measured 3.4x: 462 -> ~135 ms).
+
+    Exactness: the padded border supplies the same zeros the float
+    path's validity masks produce for the -1/H/W edge taps, the
+    per-tap masks below are the float path's masks verbatim, and uint8
+    values convert to float32 exactly — so the result is bit-identical
+    to `warp_affine_bilinear(img.astype(float32), mat)`
+    (tests/test_image_ops.py::test_u8_warp_matches_float_path).
+    """
+    b, h, w, c = img.shape
+    inv = jnp.linalg.inv(mat)
+    ys = jnp.arange(out, dtype=jnp.float32)
+    gx, gy = jnp.meshgrid(ys, ys)
+    coords = jnp.stack([gx, gy, jnp.ones_like(gx)], axis=-1)
+    src = jnp.einsum("bij,hwj->bhwi", inv[:, :2, :], coords)
+    sx, sy = src[..., 0], src[..., 1]
+    x0 = jnp.floor(sx)
+    y0 = jnp.floor(sy)
+    fx = (sx - x0)[..., None]
+    fy = (sy - y0)[..., None]
+
+    # (h+3, w+3) zero border; four (h+1, w+1) shifted views on channels.
+    p = jnp.pad(img, ((0, 0), (1, 2), (1, 2), (0, 0)))
+    stk = jnp.concatenate(
+        [p[:, :h + 1, :w + 1], p[:, :h + 1, 1:w + 2],
+         p[:, 1:h + 2, :w + 1], p[:, 1:h + 2, 1:w + 2]], axis=-1)
+    xi = jnp.clip(x0, -1, w - 1).astype(jnp.int32) + 1  # [0, w]
+    yi = jnp.clip(y0, -1, h - 1).astype(jnp.int32) + 1  # [0, h]
+    idx = (yi * (w + 1) + xi).reshape(b, -1, 1)
+    flat = stk.reshape(b, (h + 1) * (w + 1), 4 * c)
+    g = jnp.take_along_axis(flat, idx, axis=1) \
+           .reshape(b, out, out, 4, c).astype(jnp.float32)
+
+    # Same validity masks as the float path's four gathers; the padded
+    # border already matches them at the -1/H/W edges, so the masks only
+    # rewrite values where clipping pulled an interior pixel.
+    def m(yy, xx):
+        return ((xx >= 0) & (xx < w) & (yy >= 0) & (yy < h))[..., None]
+
+    v00 = jnp.where(m(y0, x0), g[..., 0, :], 0.0)
+    v01 = jnp.where(m(y0, x0 + 1), g[..., 1, :], 0.0)
+    v10 = jnp.where(m(y0 + 1, x0), g[..., 2, :], 0.0)
+    v11 = jnp.where(m(y0 + 1, x0 + 1), g[..., 3, :], 0.0)
     return (
         v00 * (1 - fx) * (1 - fy)
         + v01 * fx * (1 - fy)

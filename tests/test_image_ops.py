@@ -84,6 +84,28 @@ def test_warp_then_points_consistent():
     assert abs(xx - pt[0]) <= 1.5 and abs(yy - pt[1]) <= 1.5
 
 
+def test_u8_warp_matches_float_path():
+    """uint8 fast path is bit-identical to float32-first warping.
+
+    Covers border clipping on all four sides: rotation + downscale +
+    translation push sample coords well outside [0, W) so every clip
+    branch and validity mask fires.
+    """
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (3, 48, 48, 3), dtype=np.uint8)
+    mats = np.stack([
+        _ref_affine_mat(37.0, 0.6, 9.0, -11.0, 48),
+        _ref_affine_mat(-120.0, 1.7, -5.0, 3.0, 48),
+        _ref_affine_mat(0.0, 1.0, 40.0, 40.0, 48),  # mostly border
+    ])
+    fast = np.asarray(
+        warp_affine_bilinear(jnp.asarray(img), jnp.asarray(mats), 48))
+    ref = np.asarray(
+        warp_affine_bilinear(jnp.asarray(img, jnp.float32), jnp.asarray(mats), 48))
+    np.testing.assert_array_equal(fast, ref)
+    assert fast.dtype == np.float32
+
+
 def test_add_noise_bounds():
     img = jnp.full((2, 8, 8, 3), 128.0)
     out = np.asarray(add_noise(img, jax.random.PRNGKey(0), noise=0.01))
