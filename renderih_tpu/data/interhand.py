@@ -204,7 +204,7 @@ def make_synthetic_packed(root: str, split: str, assets, n: int = 64,
         scene = render_images
     meta_path = os.path.join(root, f"{split}_meta.json")
     meta = {"n": n, "seed": seed, "render_images": bool(render_images),
-            "scene": bool(scene)}
+            "scene": bool(scene), "albedo": "dense_v1"}
     if reuse and os.path.exists(meta_path):
         try:
             if _json.load(open(meta_path)) == meta:
@@ -221,10 +221,24 @@ def make_synthetic_packed(root: str, split: str, assets, n: int = 64,
     if render_images:
         import jax.numpy as jnp
 
+        from renderih_tpu.assets import _dense_color_from_template
         from renderih_tpu.render.backgrounds import random_background
         from renderih_tpu.render.renderer import TwoHandRenderer
 
         renderer = TwoHandRenderer(assets, img_size=IMG_SIZE)
+        # Per-vertex template-coordinate albedo (the dense-color stand-in,
+        # stable across samples). A flat-colored near-spherical blob gives
+        # the network no correspondence/orientation cue — with it, 3D pose
+        # is unobservable and training stalls at the mean pose (~48 mm
+        # PA-MPJPE floor, round-4 runs); distinct stable vertex colors
+        # make image->vertex correspondence (and hence pose) learnable.
+        # Counterpart of the reference pipeline's textured MANO renders
+        # (`rendering_code/step4_load_mano_diffbg.py`).
+        albedo_one = jnp.concatenate([
+            jnp.asarray(_dense_color_from_template(assets.left.mano),
+                        jnp.float32),
+            jnp.asarray(_dense_color_from_template(assets.right.mano),
+                        jnp.float32)], axis=0)  # (2V, 3)
         # Rasterizer intermediates are (chunk, row_block*W, F) f32 per
         # lax.map step — chunk=64 at 256^2 x 3076 faces is ~3.2 GB per
         # buffer and OOMs v5e HBM. chunk=8 bounds the step to ~400 MB.
@@ -232,9 +246,11 @@ def make_synthetic_packed(root: str, split: str, assets, n: int = 64,
 
         @jax.jit
         def render_chunk(sc_l, tr_l, sc_r, tr_r, vl, vr, key):
+            albedo = jnp.broadcast_to(
+                albedo_one, (vl.shape[0],) + albedo_one.shape)
             rgb, mask = renderer.render_rgb_orth(
                 {"left": sc_l, "right": sc_r},
-                {"left": tr_l, "right": tr_r}, vl, vr)
+                {"left": tr_l, "right": tr_r}, vl, vr, albedo=albedo)
             bg = random_background(key, vl.shape[0], IMG_SIZE)
             img01 = jnp.where(mask[..., None] > 0, rgb, bg)
             return jnp.clip(img01 * 255.0 + 0.5, 0, 255).astype(jnp.uint8)
