@@ -103,6 +103,10 @@ def main():
         dt = timed(fwd256_pc, variables, img256, iters=iters)
         results["flagship_batch256_pallas_conv_images_per_sec"] = round(
             256 / dt, 1)
+        # clear the trace-time global so later sections measure XLA convs
+        from renderih_tpu.kernels.conv_pallas import set_pallas_conv
+
+        set_pallas_conv(False)
 
     # ---- 2. batched MANO forward, L+R, batch 256 ----
     b = 256
@@ -259,6 +263,60 @@ def main():
     cfg_a = dc_replace(cfg_t, train=dc_replace(cfg_t.train, grad_accum=2))
     timed_train(cfg_a, "_accum2")  # same global batch, 2 micro-batches
 
+    # ---- 7a. Pallas-conv training A/B (forward routes eligible 3x3s
+    # through kernels/conv_pallas.py; backward is the XLA transpose conv
+    # via its custom_vjp). Receipt for whether the kernel's isolated
+    # 1.12-1.15x wins survive inside the full autodiff step.
+    if not args.quick:
+        from renderih_tpu.kernels.conv_pallas import set_pallas_conv
+
+        try:
+            set_pallas_conv(True)
+            timed_train(cfg_t, "_pallas_conv")
+        finally:
+            set_pallas_conv(False)
+
+    # ---- 7b. REAL training-loop throughput (gather+augment+step).
+    # The bare-step numbers above exclude the data path; the round-4
+    # convergence run actually sustained only ~211 img/s because the
+    # unfused augmentation gather cost 3x the step. This measures the
+    # loop apps/train.py really runs: device-resident packed split, one
+    # fused dispatch per iteration (make_fused_cached_step), host only
+    # feeding int32 indices.
+    from renderih_tpu.data.pipeline import HostSampler
+    from renderih_tpu.train.trainer import make_fused_cached_step
+
+    n_cache = 2048
+    cache_batch = synthetic_batch(assets, jax.random.PRNGKey(22),
+                                  batch_size=n_cache, with_img=False)
+    rng_imgs = np.random.default_rng(2)
+    cache = {k: jnp.asarray(v) for k, v in cache_batch.items()}
+    cache["img_u8"] = jnp.asarray(rng_imgs.integers(
+        0, 255, (n_cache, 256, 256, 3), dtype=np.uint8))
+    cache.pop("root_rel", None)  # loader recomputes it (device_augment)
+    state = create_train_state(cfg_t, variables, steps_per_epoch=100)
+    step, _ = make_train_step(cfg_t, model, assets, steps_per_epoch=100,
+                              params_template=variables["params"])
+    fused = make_fused_cached_step(cfg_t, step, jax.random.PRNGKey(23))
+    sampler = HostSampler(n_cache, tb, seed=0)
+    state, terms = fused(state, cache, jnp.asarray(sampler.next_indices()),
+                         jnp.asarray(0, jnp.int32))
+    float(terms["total"])  # compile + sync
+    n_it = max(iters, 10)
+    t0 = time.perf_counter()
+    for it in range(n_it):
+        state, terms = fused(state, cache,
+                             jnp.asarray(sampler.next_indices()),
+                             jnp.asarray(it + 1, jnp.int32))
+    float(terms["total"])  # chained through state
+    r0 = time.perf_counter()
+    float(terms["total"])
+    rtt = time.perf_counter() - r0
+    dt = (time.perf_counter() - t0 - rtt) / n_it
+    results["train_batch128_loop_images_per_sec"] = round(tb / dt, 1)
+    results["train_batch128_loop_step_ms"] = round(dt * 1000, 2)
+    del cache, state
+
     # ---- 8. serving engine, bucket-128 steady-state throughput ----
     if not args.quick:
         from renderih_tpu.serve import InferenceEngine
@@ -289,6 +347,64 @@ def main():
         jax.block_until_ready(out)
         dt = (time.perf_counter() - t0) / s_it
         results["serve_bucket128_device_images_per_sec"] = round(128 / dt, 1)
+
+        # ---- 8b. serve decomposition: where does a bucket-128 call go?
+        # upload (25 MB uint8 host->device), compute (device-resident
+        # forward), download (the ~4 MB of output verts). The end-to-end
+        # predict() number should be ~= max(upload+download, compute)
+        # after depth-1 pipelining (serve.py), vs their SUM before it.
+        t0 = time.perf_counter()
+        for _ in range(s_it):
+            jax.block_until_ready(jax.device_put(imgs))
+        results["serve_bucket128_upload_ms"] = round(
+            (time.perf_counter() - t0) / s_it * 1e3, 1)
+        results["serve_bucket128_compute_ms"] = round(dt * 1e3, 1)
+        t0 = time.perf_counter()
+        for _ in range(s_it):
+            jax.device_get(out)
+        results["serve_bucket128_download_ms"] = round(
+            (time.perf_counter() - t0) / s_it * 1e3, 1)
+
+        # ---- 8c. dynamic-batcher latency tails (closed-loop clients).
+        # The SLO-facing numbers: request latency through BatchingServer
+        # including padding, coalescing and transfer.
+        import threading
+
+        from renderih_tpu.serve import BatchingServer
+
+        engine_t = InferenceEngine(Config(), assets=assets,
+                                   buckets=(1, 8, 32, 128))
+        engine_t.warmup()
+        for k in (1, 8, 32):
+            server = BatchingServer(engine_t, max_wait_ms=2.0)
+            lat: list = []
+            lock = threading.Lock()
+            stop = time.perf_counter() + 4.0
+
+            def client(i):
+                img = imgs[i % len(imgs)]
+                while time.perf_counter() < stop:
+                    t1 = time.perf_counter()
+                    server.submit(img).result()
+                    d = time.perf_counter() - t1
+                    with lock:
+                        lat.append(d)
+
+            threads = [threading.Thread(target=client, args=(i,))
+                       for i in range(k)]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            server.close()
+            a = np.sort(np.array(lat)) * 1e3
+            if len(a):
+                q = lambda p: float(a[min(len(a) - 1, int(p * len(a)))])
+                results[f"serve_clients{k}_req_per_sec"] = round(
+                    len(a) / 4.0, 1)
+                results[f"serve_clients{k}_p50_ms"] = round(q(0.50), 1)
+                results[f"serve_clients{k}_p95_ms"] = round(q(0.95), 1)
+                results[f"serve_clients{k}_p99_ms"] = round(q(0.99), 1)
 
     results["device"] = str(jax.devices()[0])
     print(json.dumps(results, indent=2))

@@ -43,7 +43,7 @@ log = logging.getLogger("renderih_tpu.train")
 
 
 def _write_eval_overlays(writer, step, cfg, model, variables, assets,
-                         eval_dataset, n: int = 2):
+                         eval_dataset, n: int = 2, _prev={}):
     """Render pred-vs-GT mesh overlays for the first `n` eval samples.
 
     The TPU-native take on the reference's render-to-TB scaffolding
@@ -82,10 +82,22 @@ def _write_eval_overlays(writer, step, cfg, model, variables, assets,
         gt_sc, gt_tr, jnp.asarray(b["v3d_left"]), jnp.asarray(b["v3d_right"]))
     gt = renderer.overlay(img01, rgb_gt, mask_gt)
 
+    deltas = {}
     for k in range(n):
         side = np.concatenate(
             [np.asarray(pred[k]), np.asarray(gt[k])], axis=1)
         writer.write_image(step, f"eval/overlay_{k}", side)
+        # Receipt that the pred panel tracks the model: mean-abs pixel
+        # delta vs the previous overlay write. Round-4's overlays were
+        # byte-identical across evals (a stalled model predicting the
+        # mean pose renders the same mesh every time) and nothing
+        # surfaced it; a 0.0 here now names the problem in metrics.jsonl.
+        if k in _prev:
+            deltas[f"overlay_{k}_delta"] = float(
+                np.abs(side.astype(np.float32) - _prev[k]).mean())
+        _prev[k] = side.astype(np.float32)
+    if deltas:
+        writer.write(step, deltas, prefix="eval/")
 
 
 def main(argv=None):
@@ -235,40 +247,31 @@ def main(argv=None):
     ))
 
     # Device-cached path: gather + augment + train step fused into ONE
-    # jitted program, so each loop iteration is a single dispatch. The
-    # unfused loop costs 4-5 dispatches per step (gather, two fold_ins,
-    # aug, step); on a host with a slow control link (this container's
-    # tunnel has ~29 ms RTT) that dominated the step: 210 img/s unfused
-    # vs the 890 img/s the step itself benches at (tools/bench_train.py).
+    # jitted program, so each loop iteration is a single dispatch
+    # (`make_fused_cached_step` — shared with bench_suite's real-loop
+    # throughput receipt).
     fused_step = None
     if cache is not None:
-        def _fused(st, c, idx, step_i):
-            b = jax.tree_util.tree_map(
-                lambda a: jnp.take(a, idx, axis=0), c)
-            key = jax.random.fold_in(rng, step_i)
-            b = device_augment(
-                b, jax.random.fold_in(key, 1),
-                img_size=cfg.model.img_size,
-                theta_range=tuple(cfg.data.theta_range),
-                scale_range=tuple(cfg.data.scale_range),
-                uv_range=tuple(cfg.data.uv_range),
-                flip=cfg.data.flip, noise=cfg.data.noise,
-                bone_length=cfg.data.bone_length, train=True,
-            )
-            return step_fn(st, b, jax.random.fold_in(key, 2))
+        from renderih_tpu.train.trainer import make_fused_cached_step
 
-        fused_step = jax.jit(_fused, donate_argnums=0)
+        fused_step = make_fused_cached_step(cfg, step_fn, rng)
+
+    from renderih_tpu.train.resilience import run_step_guarded
 
     writer = MetricsWriter(cfg.train.checkpoint_dir)
     total_steps = args.steps or cfg.train.epochs * steps_per_epoch
     t0 = time.perf_counter()
     step0 = int(jax.device_get(state.step))
     for i in range(step0, total_steps):
+        # One guarded step: transient infra failures (axon remote-compile
+        # HTTP 500s, `runs/probe_albedo` post-mortem) retry with backoff;
+        # anything fatal saves a `crash` checkpoint first (resilience.py).
         if cache is not None:
-            state, terms = fused_step(
-                state, cache,
-                jnp.asarray(provider.sampler.next_indices()),
-                jnp.asarray(i, jnp.int32))
+            def _thunk(state=state, i=i):
+                return fused_step(
+                    state, cache,
+                    jnp.asarray(provider.sampler.next_indices()),
+                    jnp.asarray(i, jnp.int32))
         else:
             host_batch = provider.next()
             batch = shard_batch(
@@ -276,7 +279,12 @@ def main(argv=None):
             )
             key = jax.random.fold_in(rng, i)
             batch = aug(batch, jax.random.fold_in(key, 1))
-            state, terms = step_fn(state, batch, jax.random.fold_in(key, 2))
+
+            def _thunk(state=state, batch=batch, key=key):
+                return step_fn(state, batch, jax.random.fold_in(key, 2))
+
+        state, terms = run_step_guarded(
+            _thunk, state, cfg.train.checkpoint_dir)
 
         if (i + 1) % cfg.train.log_every == 0 or i == step0:
             terms = jax.device_get(terms)

@@ -114,10 +114,12 @@ class HandNet(nn.Module):
 
 
 def build_model(cfg: Config, assets: Assets) -> HandNet:
-    if cfg.model.pallas_conv:
-        from renderih_tpu.kernels.conv_pallas import set_pallas_conv
+    # Trace-time switch, set BOTH ways so building a pallas_conv=False
+    # model always clears state left by an earlier pallas_conv=True one
+    # in the same process (bench A/Bs build several models back to back).
+    from renderih_tpu.kernels.conv_pallas import set_pallas_conv
 
-        set_pallas_conv(True)
+    set_pallas_conv(bool(cfg.model.pallas_conv))
     dtype = jnp.bfloat16 if cfg.train.precision == "bf16" else jnp.float32
     assert assets.left.verts_nums == assets.right.verts_nums, (
         "left/right graphs must coarsen to identical level sizes "

@@ -130,7 +130,7 @@ def latest_checkpoint(checkpoint_dir: str) -> str | None:
     """Newest checkpoint under `checkpoint_dir`, or None.
 
     Recognizes the trainer's own layout: `epoch_<N>` (highest N wins),
-    then `preempt`, then `final`. Reference equivalent: the legacy
+    then `preempt`/`crash`/`final`. Reference equivalent: the legacy
     harness globbing `snapshot_*.pth.tar` and restarting from the max
     epoch (`common/base.py:83-93`) — ours also considers the
     preemption-save and the final checkpoint.
@@ -151,7 +151,7 @@ def latest_checkpoint(checkpoint_dir: str) -> str | None:
     # preempt/final are written by the same run as the epochs next to
     # them, so their relative mtimes are meaningful
     candidates = [max(epochs)[1]] if epochs else []
-    for special in ("preempt", "final"):
+    for special in ("preempt", "crash", "final"):
         if os.path.isdir(os.path.join(checkpoint_dir, special)):
             candidates.append(special)
     if not candidates:

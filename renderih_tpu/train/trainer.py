@@ -257,6 +257,42 @@ def make_train_step(
     return jitted, tx
 
 
+def make_fused_cached_step(cfg: Config, step_fn, base_rng):
+    """Fuse gather + augment + train step into ONE jitted dispatch.
+
+    The device-cache training path (`apps/train.py`): the packed split
+    lives in HBM, each iteration gathers its batch, augments and steps
+    on device. Unfused, a loop iteration costs 4-5 dispatches (gather,
+    two fold_ins, aug, step); on a host with a slow control link (this
+    container's tunnel: ~29 ms RTT) that dominated the step — 210 img/s
+    observed in the round-4 convergence run vs the 890 img/s bare-step
+    bench. One dispatch restores the compute-bound rate.
+
+    `step_fn` is `make_train_step(...)[0]`; `base_rng` seeds the
+    per-step augmentation/dropout keys via fold_in(step index).
+    Signature of the returned jit: (state, cache, idx, step_i) ->
+    (state, terms), donating state.
+    """
+    from renderih_tpu.data.pipeline import device_augment
+
+    def _fused(state, cache, idx, step_i):
+        b = jax.tree_util.tree_map(
+            lambda a: jnp.take(a, idx, axis=0), cache)
+        key = jax.random.fold_in(base_rng, step_i)
+        b = device_augment(
+            b, jax.random.fold_in(key, 1),
+            img_size=cfg.model.img_size,
+            theta_range=tuple(cfg.data.theta_range),
+            scale_range=tuple(cfg.data.scale_range),
+            uv_range=tuple(cfg.data.uv_range),
+            flip=cfg.data.flip, noise=cfg.data.noise,
+            bone_length=cfg.data.bone_length, train=True,
+        )
+        return step_fn(state, b, jax.random.fold_in(key, 2))
+
+    return jax.jit(_fused, donate_argnums=0)
+
+
 def make_eval_step(cfg: Config, model: HandNet, assets: Assets):
     """Jitted inference step: (variables, img) -> DecoderOutput.
 

@@ -125,3 +125,62 @@ def test_sharded_matches_single_device(setup):
     np.testing.assert_allclose(
         float(terms1["vert3d"]), float(terms8["vert3d"]), rtol=2e-4
     )
+
+
+def test_fused_cached_step_matches_unfused(setup, tmp_path):
+    """`make_fused_cached_step` (the device-cache loop apps/train.py and
+    bench_suite's real-loop receipt both run) must reproduce the unfused
+    gather -> device_augment -> step path for the same keys."""
+    from dataclasses import replace
+
+    from renderih_tpu.data.interhand import make_synthetic_packed
+    from renderih_tpu.data.pipeline import device_augment
+    from renderih_tpu.train.trainer import make_fused_cached_step
+
+    cfg, assets, model, variables = setup
+    cfg2 = replace(cfg, train=replace(cfg.train, warmup_epochs=0, lr=1e-3,
+                                      batch_size=4))
+    ds = make_synthetic_packed(str(tmp_path), "train", assets, n=8)
+    full = ds.batch(np.arange(len(ds)))
+    cache = {k: jnp.asarray(v) for k, v in full.items()}
+
+    step, _ = make_train_step(cfg2, model, assets, steps_per_epoch=10,
+                              params_template=variables["params"])
+    rng = jax.random.PRNGKey(5)
+    fused = make_fused_cached_step(cfg2, step, rng)
+
+    idx = jnp.asarray([1, 3, 4, 6])
+    state_a = create_train_state(cfg2, variables, steps_per_epoch=10)
+    state_b = create_train_state(cfg2, variables, steps_per_epoch=10)
+
+    state_a, terms_a = fused(state_a, cache, idx, jnp.asarray(0, jnp.int32))
+
+    key = jax.random.fold_in(rng, 0)
+    batch = {k: jnp.take(v, idx, axis=0) for k, v in cache.items()}
+    batch = jax.jit(lambda b, k: device_augment(
+        b, k, img_size=cfg2.model.img_size,
+        theta_range=tuple(cfg2.data.theta_range),
+        scale_range=tuple(cfg2.data.scale_range),
+        uv_range=tuple(cfg2.data.uv_range),
+        flip=cfg2.data.flip, noise=cfg2.data.noise,
+        bone_length=cfg2.data.bone_length, train=True,
+    ))(batch, jax.random.fold_in(key, 1))
+    state_b, terms_b = step(state_b, batch, jax.random.fold_in(key, 2))
+
+    assert np.isfinite(float(terms_a["total"]))
+    for k in terms_a:
+        np.testing.assert_allclose(
+            float(terms_a[k]), float(terms_b[k]), rtol=1e-4, atol=1e-7,
+            err_msg=f"term {k} differs between fused and unfused step")
+
+    # Param-leaf equality after an Adam step is ill-conditioned (the
+    # update is ~sign(g) for near-zero grads, so harmless float
+    # reassociation across the two program shapes flips entries by
+    # +-lr). Instead, run a second step from each state on the same
+    # indices: if the first step's states diverged materially, the
+    # second step's loss would show it.
+    state_a, terms_a2 = fused(state_a, cache, idx, jnp.asarray(0, jnp.int32))
+    state_b, terms_b2 = step(state_b, batch, jax.random.fold_in(key, 2))
+    np.testing.assert_allclose(float(terms_a2["total"]),
+                               float(terms_b2["total"]), rtol=1e-3)
+    assert np.isfinite(float(terms_a2["total"]))
