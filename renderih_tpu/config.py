@@ -61,6 +61,14 @@ class ModelConfig:
     # XLA's conv on the hot resnet50 shapes in isolation (round-4 probe);
     # end-to-end A/B receipts in BENCH_DETAILS decide the default.
     pallas_conv: bool = False
+    # Zero-initialize the coord/camera output heads so the decoder
+    # starts AT the mean prediction instead of ~50x the target scale
+    # (flax-default head init gives |verts3d| ~ 2.5 m at step 0 vs
+    # 0.05 m targets; the resulting shrink-everything transient floods
+    # Adam's second moments). The reference uses xavier heads
+    # (`decoder_lijun_graph.py:93-101`); keep False for init parity,
+    # True is a training-dynamics lever (round-5 convergence work).
+    zero_init_heads: bool = False
 
 
 @dataclass

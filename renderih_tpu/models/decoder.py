@@ -76,6 +76,9 @@ class GraphDecoder(nn.Module):
     # run L/R through one hand-stacked (nn.vmap) trunk — same math,
     # fewer/larger kernels; see DualGraphLayer.paired
     paired: bool = False
+    # zero-init coord/camera heads: start at the mean prediction, no
+    # 50x-scale init transient (see ModelConfig.zero_init_heads)
+    zero_init_heads: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -144,9 +147,16 @@ class GraphDecoder(nn.Module):
         rf = rf.astype(jnp.float32)
 
         # Camera heads, shared across hands (`decoder_lijun_graph.py:221-223`).
+        # Only the FINAL projections are zero-init; avg_head keeps its
+        # default init (zeroing both layers of the camera stack would
+        # zero the whole camera gradient: params_head's kernel grad is
+        # dout (x) pooled^T with pooled == 0, and avg_head's is
+        # params_head_kernel^T-weighted — a mutual deadlock).
+        head_kw = ({"kernel_init": nn.initializers.zeros}
+                   if self.zero_init_heads else {})
         avg_head = nn.Dense(1, name="avg_head")
-        params_head = nn.Dense(3, name="params_head")
-        coord_head = nn.Dense(3, name="coord_head")
+        params_head = nn.Dense(3, name="params_head", **head_kw)
+        coord_head = nn.Dense(3, name="coord_head", **head_kw)
 
         def camera(feat):
             pooled = avg_head(jnp.swapaxes(feat, -1, -2))[..., 0]  # (B, C)

@@ -69,6 +69,7 @@ class HandNet(nn.Module):
             img_size=m.img_size,
             with_mano_head=(m.decoder == "mano"),
             paired=m.paired_lr,
+            zero_init_heads=m.zero_init_heads,
             dtype=jnp.float32 if m.decoder_f32 else self.dtype,
         )
 
