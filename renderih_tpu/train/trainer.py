@@ -111,10 +111,29 @@ def make_train_step(
             )
             # Aux-head supervision (`calc_aux_loss`, `core/Loss.py:180-198`)
             # when the heads are on and the batch has rendered targets.
-            if cfg.model.with_aux_heads and out.aux is not None \
-                    and "hms" in mb:
+            # Without stored targets, the joint-heatmap target is
+            # synthesized ON DEVICE from the (augmented) 2D joints —
+            # deep supervision that makes the encoder trainable from
+            # scratch. The reference never trains a cold encoder: its
+            # ResNetSimple is built with pretrained=True (ImageNet),
+            # `common/myhand/encoder_lijun.py:330-334`; without that
+            # warm start (no ImageNet weights in this container) the
+            # attention decoder collapses to the dataset-mean pose and
+            # conditioning never develops (round-5 probes:
+            # runs/probe_{albedo,noaug,f32}).
+            if cfg.model.with_aux_heads and out.aux is not None:
                 from renderih_tpu.losses.graph_loss import aux_losses
 
+                if "hms" not in mb:
+                    from renderih_tpu.ops.heatmap import gaussian_heatmaps
+
+                    s = out.aux["hms"].shape[1]
+                    j_all = jnp.concatenate(
+                        [mb["j2d_left"], mb["j2d_right"]], axis=1)
+                    hms = gaussian_heatmaps(
+                        j_all * (s / float(cfg.model.img_size)), size=s,
+                        sigma=max(s / 32.0, 1.0))
+                    mb = {**mb, "hms": jnp.transpose(hms, (0, 2, 3, 1))}
                 at = aux_losses(out.aux, mb, w_mask=cfg.loss.mask,
                                 w_dense=cfg.loss.dense, w_hms=cfg.loss.hms)
                 total = total + at["total"]

@@ -74,3 +74,29 @@ def test_aux_losses_decrease_in_training(setup):
     for k, vals in history.items():
         assert np.all(np.isfinite(vals)), (k, vals)
         assert vals[-1] < vals[0], (k, vals)
+
+
+def test_hms_target_synthesized_on_device_when_absent(setup):
+    """Without stored aux targets, the train step synthesizes the joint
+    heatmap target from the batch's 2D joints (the from-scratch deep
+    supervision path - the reference never trains a cold encoder, its
+    ResNetSimple is hardcoded pretrained=True,
+    `common/myhand/encoder_lijun.py:330`)."""
+    cfg, assets, model, variables = setup
+    state = create_train_state(cfg, variables, steps_per_epoch=1000)
+    step, _ = make_train_step(
+        cfg, model, assets, steps_per_epoch=1000,
+        params_template=variables["params"],
+    )
+    batch = synthetic_batch(assets, jax.random.PRNGKey(2), batch_size=2,
+                            img_size=IMG, with_aux=False)
+    assert "hms" not in batch
+    hist = []
+    for _ in range(6):
+        state, terms = step(state, batch, jax.random.PRNGKey(3))
+        assert "aux_hms" in terms, sorted(terms)
+        # mask/dense have no targets in this batch: not applied
+        assert "aux_mask" not in terms and "aux_dense" not in terms
+        hist.append(float(terms["aux_hms"]))
+    assert np.all(np.isfinite(hist)), hist
+    assert hist[-1] < hist[0], hist

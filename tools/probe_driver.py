@@ -15,8 +15,12 @@ or edit RUNS below and run with no argument.
 
 import json
 import logging
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.abspath(
+    os.path.join(os.path.dirname(__file__), "..")))
 
 RUNS = [
     {"args": ["--cfg", "configs/probe_combo.yaml", "--synthetic",
