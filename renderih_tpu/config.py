@@ -150,6 +150,10 @@ class LossConfig:
     normal: float = 10.0
     edge: float = 2000.0
     norm_epoch: int = 50  # edge loss enabled from this epoch
+    # Normal loss enabled from this epoch (0 = always on = reference
+    # parity; see GraphLossWeights.normal_epoch for why a from-scratch
+    # run wants this gated).
+    normal_epoch: int = 0
     upsample: float = 1.0
     mano_pose: float = 0.5
     mano_shape: float = 0.01

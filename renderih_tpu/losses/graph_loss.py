@@ -37,6 +37,16 @@ class GraphLossWeights(NamedTuple):
     edge: float = 2000.0
     norm_epoch: int = 50
     upsample: float = 1.0
+    # Epoch before which the normal loss is OFF (0 = always on, the
+    # reference behavior - its normal term is ungated, `core/Loss.py:262`).
+    # From-scratch divergence lever: normalized-edge directions have
+    # ~1/|e| gradient amplification, and early training's shrunken
+    # predicted mesh turns the normal term into a firehose of
+    # degenerate-geometry gradient noise that can drown the image-
+    # conditioning signal (round-5 probe bisect: the 2D-only and
+    # 2D+3D-Huber probes learn; every run with the normal term on from
+    # step 0 collapsed to the mean pose).
+    normal_epoch: int = 0
 
 
 def smooth_l1(pred: jax.Array, target: jax.Array, beta: float = 1.0) -> jax.Array:
@@ -187,14 +197,16 @@ def two_hand_graph_loss(
     else:
         terms["upsample_norm"] = jnp.zeros(())
 
-    # Edge loss gated by epoch (reference alpha, `core/Loss.py:251`).
+    # Edge loss gated by epoch (reference alpha, `core/Loss.py:251`);
+    # normal optionally gated too (normal_epoch, from-scratch lever).
     alpha = jnp.where(jnp.asarray(epoch) < weights.norm_epoch, 0.0, 1.0)
+    alpha_n = jnp.where(jnp.asarray(epoch) < weights.normal_epoch, 0.0, 1.0)
 
     total = (
         weights.label_3d * terms["vert3d"]
         + weights.label_2d * terms["vert2d"]
         + weights.label_3d * terms["joint"]
-        + weights.normal * terms["normal"]
+        + alpha_n * weights.normal * terms["normal"]
         + alpha * weights.edge * terms["edge"]
         + weights.upsample * terms["upsample_norm"]
     )

@@ -48,6 +48,7 @@ def loss_weights_from_cfg(cfg: Config) -> GraphLossWeights:
         normal=cfg.loss.normal,
         edge=cfg.loss.edge,
         norm_epoch=cfg.loss.norm_epoch,
+        normal_epoch=cfg.loss.normal_epoch,
         upsample=cfg.loss.upsample,
     )
 

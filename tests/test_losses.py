@@ -120,3 +120,29 @@ def test_focal_and_dice():
     assert float(sigmoid_focal_loss(logits, targets)) < 1e-4
     pred = jnp.ones((1, 8, 8))
     assert float(dice_loss(pred, pred)) < 1e-3
+
+
+def test_normal_loss_gated_by_normal_epoch(assets):
+    """normal_epoch > 0 keeps the normal term out of the total until that
+    epoch (from-scratch lever; 0 = reference-parity always-on,
+    `core/Loss.py:262`)."""
+    batch = synthetic_batch(assets, jax.random.PRNGKey(0), batch_size=2)
+    out = _perfect_output(assets, batch)
+    noisy = out._replace(
+        verts3d={k: v * 0.05 for k, v in out.verts3d.items()}
+    )
+    w = GraphLossWeights(label_3d=0.0, label_2d=0.0, edge=0.0,
+                         upsample=0.0, normal=10.0, normal_epoch=50)
+    t_early, terms = two_hand_graph_loss(noisy, batch, assets, epoch=0,
+                                         weights=w)
+    t_late, _ = two_hand_graph_loss(noisy, batch, assets, epoch=50,
+                                    weights=w)
+    assert float(terms["normal"]) > 0.0   # term still reported
+    assert float(t_early) == 0.0          # ...but gated out of the total
+    assert float(t_late) > 0.0
+    # default (normal_epoch=0) keeps reference parity: always on
+    t_ref, _ = two_hand_graph_loss(noisy, batch, assets, epoch=0,
+                                   weights=GraphLossWeights(
+                                       label_3d=0.0, label_2d=0.0,
+                                       edge=0.0, upsample=0.0))
+    assert float(t_ref) > 0.0
