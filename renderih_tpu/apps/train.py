@@ -112,6 +112,13 @@ def main(argv=None):
     parser.add_argument("--synth_eval_n", type=int, default=None,
                         help="held-out synthetic eval set size "
                              "(default synth_n // 4)")
+    parser.add_argument("--synth_seed", type=int, default=0,
+                        help="train-split generator seed (the test split "
+                             "always uses seed 1; a different seed gives "
+                             "fresh samples at a CACHED batch shape - "
+                             "n-sized one-shot generation compiles per "
+                             "shape, and a new shape pays a full remote "
+                             "compile)")
     parser.add_argument("--synth_render", action="store_true",
                         help="rasterize the labeled hands into the "
                              "synthetic images (learnable image->pose "
@@ -151,6 +158,7 @@ def main(argv=None):
         root = os.path.join(cfg.train.checkpoint_dir, "_synth_data")
         dataset = make_synthetic_packed(root, "train", assets,
                                         n=args.synth_n,
+                                        seed=args.synth_seed,
                                         render_images=args.synth_render)
         # held-out split so in-train eval (and its EMA variant) is
         # exercised by synthetic smoke runs too
