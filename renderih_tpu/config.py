@@ -154,6 +154,11 @@ class LossConfig:
     # parity; see GraphLossWeights.normal_epoch for why a from-scratch
     # run wants this gated).
     normal_epoch: int = 0
+    # Direct camera supervision weight (0 = off = reference parity).
+    # GT (scale, trans2d) is refit per sample from the labels in closed
+    # form (losses/graph_loss.py:fit_orthographic_cam) - the lever
+    # against the scale->0 attractor (runs/convergence_r5/RECEIPT.md).
+    camera: float = 0.0
     upsample: float = 1.0
     mano_pose: float = 0.5
     mano_shape: float = 0.01

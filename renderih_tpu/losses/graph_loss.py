@@ -47,6 +47,17 @@ class GraphLossWeights(NamedTuple):
     # 2D+3D-Huber probes learn; every run with the normal term on from
     # step 0 collapsed to the mean pose).
     normal_epoch: int = 0
+    # Direct camera supervision (0 = off = reference parity; the
+    # reference supervises the camera only through vert2d). From-scratch
+    # divergence lever for the scale->0 attractor documented in
+    # runs/convergence_r5/RECEIPT.md: with a shrunken mesh the 2D loss
+    # degenerates to hand-center matching and the predicted scale
+    # collapses. The GT camera needs no stored labels - labels are
+    # exactly self-consistent, so the per-sample (scale, trans) is
+    # recovered in closed form from (v3d, v2d) by least squares
+    # (`fit_orthographic_cam`), which survives any label-preserving
+    # augmentation including flips.
+    camera: float = 0.0
 
 
 def smooth_l1(pred: jax.Array, target: jax.Array, beta: float = 1.0) -> jax.Array:
@@ -66,6 +77,30 @@ def _safe_norm(x: jax.Array, axis: int = -1, keepdims: bool = False,
     zero-weighted terms.
     """
     return jnp.sqrt(jnp.sum(x * x, axis=axis, keepdims=keepdims) + eps)
+
+
+def fit_orthographic_cam(v3d: jax.Array, v2d: jax.Array,
+                         img_size: float) -> tuple[jax.Array, jax.Array]:
+    """Per-sample closed-form orthographic camera from consistent labels.
+
+    Solves min_{s,t} || s*S*xy + (t*S/2 + S/2) - uv ||^2 (the projection
+    family of `ops/projection.orthographic_project`): scalar scale from
+    the covariance/variance ratio of centered xy vs centered uv, trans
+    from the means. Exact (zero residual) whenever v2d really is an
+    orthographic projection of v3d - which `tools/inspect_synth.py`
+    verifies holds for the synthetic data through every augmentation.
+
+    Args: v3d (B, V, 3), v2d (B, V, 2). Returns (scale (B,), trans (B, 2)).
+    """
+    xy = v3d[..., :2]
+    xym = xy - xy.mean(axis=-2, keepdims=True)
+    uvm = v2d - v2d.mean(axis=-2, keepdims=True)
+    s_pix = (jnp.sum(xym * uvm, axis=(-2, -1))
+             / jnp.maximum(jnp.sum(xym * xym, axis=(-2, -1)), 1e-12))
+    scale = s_pix / img_size
+    c = v2d.mean(axis=-2) - s_pix[..., None] * xy.mean(axis=-2)
+    trans = (c - img_size / 2.0) / (img_size / 2.0)
+    return scale, trans
 
 
 def _face_edges(verts: jax.Array, faces: jax.Array) -> jax.Array:
@@ -197,6 +232,20 @@ def two_hand_graph_loss(
     else:
         terms["upsample_norm"] = jnp.zeros(())
 
+    # Direct camera supervision (off at weight 0 = reference parity):
+    # GT (scale, trans) recovered per sample from the labels themselves.
+    if weights.camera > 0.0:
+        cam = 0.0
+        for hand in ("left", "right"):
+            s_gt, t_gt = fit_orthographic_cam(
+                v3d_gt[hand], v2d_gt[hand], img_size)
+            cam = cam + 0.5 * (
+                jnp.mean((out.scale[hand] - s_gt) ** 2)
+                + jnp.mean((out.trans2d[hand] - t_gt) ** 2))
+        terms["camera"] = cam
+    else:
+        terms["camera"] = jnp.zeros(())
+
     # Edge loss gated by epoch (reference alpha, `core/Loss.py:251`);
     # normal optionally gated too (normal_epoch, from-scratch lever).
     alpha = jnp.where(jnp.asarray(epoch) < weights.norm_epoch, 0.0, 1.0)
@@ -209,6 +258,7 @@ def two_hand_graph_loss(
         + alpha_n * weights.normal * terms["normal"]
         + alpha * weights.edge * terms["edge"]
         + weights.upsample * terms["upsample_norm"]
+        + weights.camera * terms["camera"]
     )
     for l3, l2 in zip(coarse3d_terms, coarse2d_terms):
         total = total + weights.label_3d * l3 + weights.label_2d * l2

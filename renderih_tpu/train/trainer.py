@@ -49,6 +49,7 @@ def loss_weights_from_cfg(cfg: Config) -> GraphLossWeights:
         edge=cfg.loss.edge,
         norm_epoch=cfg.loss.norm_epoch,
         normal_epoch=cfg.loss.normal_epoch,
+        camera=cfg.loss.camera,
         upsample=cfg.loss.upsample,
     )
 

@@ -146,3 +146,62 @@ def test_normal_loss_gated_by_normal_epoch(assets):
                                        label_3d=0.0, label_2d=0.0,
                                        edge=0.0, upsample=0.0))
     assert float(t_ref) > 0.0
+
+
+def test_fit_orthographic_cam_recovers_generator_camera(assets):
+    """Closed-form camera refit (the GT for `loss.camera`): on scene-mode
+    synthetic labels it must recover the generating shared camera
+    exactly, and survive device_augment's rotation/flip unchanged in
+    residual (labels stay an exact orthographic projection)."""
+    from renderih_tpu.data.pipeline import device_augment
+    from renderih_tpu.losses.graph_loss import fit_orthographic_cam
+    from renderih_tpu.ops.projection import orthographic_project
+
+    batch = synthetic_batch(assets, jax.random.PRNGKey(3), batch_size=4,
+                            scene=True, with_cam=True, with_img=False)
+    s, t = fit_orthographic_cam(batch["v3d_left"], batch["v2d_left"], 256.0)
+    np.testing.assert_allclose(np.asarray(s),
+                               np.asarray(batch["cam_scale_left"]),
+                               rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(t),
+                               np.asarray(batch["cam_trans_left"]),
+                               atol=1e-3)
+
+    # through augmentation: refit on the augmented labels, reproject,
+    # compare to the augmented v2d (right hand carries root_rel)
+    batch["img_u8"] = jnp.zeros((4, 256, 256, 3), jnp.uint8)
+    aug = device_augment(batch, jax.random.PRNGKey(5), train=True)
+    v3 = aug["v3d_right"] + aug["root_rel"][:, None, :]
+    s2, t2 = fit_orthographic_cam(v3, aug["v2d_right"], 256.0)
+    uv = orthographic_project(s2, t2, v3, 256.0)
+    err = float(jnp.abs(uv - aug["v2d_right"]).max())
+    assert err < 0.1, err  # px
+
+
+def test_camera_loss_wiring(assets):
+    """weight 0 -> term reported but total unchanged; weight > 0 -> a
+    wrong predicted camera is penalized, a perfect one is not."""
+    batch = synthetic_batch(assets, jax.random.PRNGKey(0), batch_size=2)
+    out = _perfect_output(assets, batch)
+    w_off = GraphLossWeights()
+    t_off, terms = two_hand_graph_loss(out, batch, assets, epoch=100,
+                                       weights=w_off)
+    assert float(terms["camera"]) == 0.0
+
+    from renderih_tpu.losses.graph_loss import fit_orthographic_cam
+
+    v3_r = batch["v3d_right"] + batch["root_rel"][:, None, :]
+    cams = {"left": fit_orthographic_cam(batch["v3d_left"],
+                                         batch["v2d_left"], 256.0),
+            "right": fit_orthographic_cam(v3_r, batch["v2d_right"], 256.0)}
+    out = out._replace(scale={h: cams[h][0] for h in cams},
+                       trans2d={h: cams[h][1] for h in cams})
+    w_on = GraphLossWeights(camera=10.0)
+    t_good, terms_g = two_hand_graph_loss(out, batch, assets, epoch=100,
+                                          weights=w_on)
+    assert float(terms_g["camera"]) < 1e-6
+    bad = out._replace(scale={k: v * 0.05 for k, v in out.scale.items()})
+    t_bad, terms_b = two_hand_graph_loss(bad, batch, assets, epoch=100,
+                                         weights=w_on)
+    assert float(terms_b["camera"]) > 0.1
+    assert float(t_bad) > float(t_good)
